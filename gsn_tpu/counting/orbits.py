@@ -1,0 +1,128 @@
+"""Automorphism-orbit computation for pattern graphs.
+
+Matches the reference semantics exactly:
+- vertex orbits: min-label union over all automorphisms, then made
+  contiguous with a sorted-unique relabel (reference
+  ``utils_graph_processing.py:10-56``);
+- induced edge orbits: pairs/frozensets of endpoint vertex orbits,
+  indexed in first-occurrence order over the *sorted undirected* edge
+  list (reference ``utils_graph_processing.py:58-100``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .vf2 import build_adjacency, enumerate_subgraph_isomorphisms
+
+
+@dataclasses.dataclass
+class PatternInfo:
+    """Everything the counting stage needs to know about one pattern."""
+
+    num_vertices: int
+    edges: List[Tuple[int, int]]          # canonical undirected, deduped
+    adj: List[int]                        # bitset adjacency
+    aut_count: int
+    # vertex scope
+    orbit_membership: List[int]           # vertex -> contiguous orbit id
+    orbit_partition: Dict[int, List[int]]  # orbit id -> vertices
+    # edge scope (None unless computed)
+    directed_edges: List[Tuple[int, int]] | None = None  # sorted both-dirs list
+    edge_orbit_membership: List[int] | None = None       # index into directed_edges
+    edge_orbit_partition: Dict[int, List[Tuple[int, int]]] | None = None
+
+    @property
+    def num_orbits(self) -> int:
+        return len(self.orbit_partition)
+
+    @property
+    def num_edge_orbits(self) -> int:
+        return len(self.edge_orbit_partition)
+
+
+def _canonical_edges(edge_list: Sequence[Tuple[int, int]]):
+    """Dedup/undirect an edge list; vertex count = max index + 1."""
+    n = 0
+    eset = set()
+    for u, v in edge_list:
+        n = max(n, u + 1, v + 1)
+        if u != v:
+            eset.add((min(u, v), max(u, v)))
+    return n, sorted(eset)
+
+
+def automorphism_orbits(edge_list: Sequence[Tuple[int, int]],
+                        directed: bool = False,
+                        **_kw) -> PatternInfo:
+    """Vertex automorphism orbits of a pattern.
+
+    Reference parity (``utils_graph_processing.py:10-56``): each vertex's
+    orbit label is the min over one sweep per automorphism of
+    ``min(original_index, current_label_of_image)``, applied in
+    enumeration order, then compacted with np.unique.  We replicate the
+    same sweep (it converges to true orbits because the full automorphism
+    group is enumerated).
+    """
+    if directed:
+        raise NotImplementedError("directed patterns not supported yet")
+    n, edges = _canonical_edges(edge_list)
+    adj = build_adjacency(n, edges)
+
+    auts = list(enumerate_subgraph_isomorphisms(adj, n, adj, n, False))
+    label = list(range(n))
+    for aut in auts:
+        for original, image in enumerate(aut):
+            label[image] = min(original, label[image])
+    _, contiguous = np.unique(label, return_inverse=True)
+    orbit_membership = [int(o) for o in contiguous]
+
+    orbit_partition: Dict[int, List[int]] = {}
+    for v, o in enumerate(orbit_membership):
+        orbit_partition.setdefault(o, []).append(v)
+
+    return PatternInfo(
+        num_vertices=n,
+        edges=edges,
+        adj=adj,
+        aut_count=len(auts),
+        orbit_membership=orbit_membership,
+        orbit_partition=orbit_partition,
+    )
+
+
+def induced_edge_automorphism_orbits(edge_list: Sequence[Tuple[int, int]],
+                                     directed: bool = False,
+                                     directed_orbits: bool = False,
+                                     **_kw) -> PatternInfo:
+    """Edge orbits induced by the vertex automorphism group.
+
+    The directed (both-directions) edge list is sorted lexicographically
+    (matching PyG ``to_undirected`` coalescing at
+    ``utils_graph_processing.py:74``); edge-orbit ids are assigned in
+    first-occurrence order over that list.
+    """
+    info = automorphism_orbits(edge_list, directed=directed)
+    both = sorted(
+        [(u, v) for u, v in info.edges] + [(v, u) for u, v in info.edges])
+
+    orbit2ind: Dict[object, int] = {}
+    membership: List[int] = []
+    partition: Dict[int, List[Tuple[int, int]]] = {}
+    for (u, v) in both:
+        if directed_orbits:
+            key = (info.orbit_membership[u], info.orbit_membership[v])
+        else:
+            key = frozenset(
+                (info.orbit_membership[u], info.orbit_membership[v]))
+        ind = orbit2ind.setdefault(key, len(orbit2ind))
+        membership.append(ind)
+        partition.setdefault(ind, []).append((u, v))
+
+    info.directed_edges = both
+    info.edge_orbit_membership = membership
+    info.edge_orbit_partition = partition
+    return info

@@ -1,0 +1,10 @@
+from .patterns import (get_custom_edge_list, parse_graph6, read_graph6_file,
+                       resolve_pattern_vocabulary, write_graph6)
+
+__all__ = [
+    "get_custom_edge_list",
+    "parse_graph6",
+    "read_graph6_file",
+    "resolve_pattern_vocabulary",
+    "write_graph6",
+]

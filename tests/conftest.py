@@ -1,0 +1,15 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+Must run before jax is imported anywhere, so we set the env at conftest
+import time (pytest imports conftest first).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REFERENCE_DATASETS = "/root/reference/datasets"
