@@ -1,0 +1,164 @@
+"""Batched padded graph container — the TPU-native replacement for PyG's
+``Data``/``Batch`` (reference ``main.py:243-258`` uses PyG disjoint-union
+batching with dynamic shapes).
+
+Design: struct-of-arrays with *static* shapes.  A batch of graphs is a
+single disjoint union padded to fixed node/edge/graph capacities; boolean
+masks carry the real extents.  XLA compiles one program per
+(node_cap, edge_cap, graph_cap) bucket, and every op downstream
+(aggregation, batch-norm, pooling, loss) is masked so padding never
+contributes.
+
+Conventions:
+- ``edge_index[0]`` is the *receiver* row under the reference's default
+  ``flow='target_to_source'`` (see ``GSN_sparse.py:125-128``): messages
+  aggregate onto ``edge_index[select]``.
+- Padding edges point at node slot 0; their messages are masked out
+  before aggregation.
+- Padding nodes belong to graph slot 0; their features are masked out
+  before pooling.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class GraphBatch:
+    """One padded disjoint-union batch of graphs (a JAX pytree)."""
+
+    x: jnp.ndarray                 # [N, Dx]  node features (int or float)
+    edge_index: jnp.ndarray        # [2, E]   int32
+    batch: jnp.ndarray             # [N]      int32 graph id per node
+    y: jnp.ndarray                 # [G, ...] labels
+    node_mask: jnp.ndarray         # [N]      bool
+    edge_mask: jnp.ndarray         # [E]      bool
+    graph_mask: jnp.ndarray        # [G]      bool
+    degrees: jnp.ndarray           # [N] or [N, Kd]
+    identifiers: Optional[jnp.ndarray] = None   # [N, K] or [E, K]
+    edge_features: Optional[jnp.ndarray] = None  # [E, De]
+
+    @property
+    def num_node_slots(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_edge_slots(self) -> int:
+        return self.edge_index.shape[1]
+
+    @property
+    def num_graph_slots(self) -> int:
+        return self.y.shape[0]
+
+    def num_real_graphs(self) -> jnp.ndarray:
+        return jnp.sum(self.graph_mask)
+
+
+def _round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple if multiple > 1 else x
+
+
+def pad_cap(n: int, multiple: int = 64) -> int:
+    """Bucket capacity: next multiple (keeps lane-dim friendly sizes and
+    bounds the number of XLA compilations)."""
+    return max(_round_up(max(n, 1), multiple), multiple)
+
+
+def batch_graphs(
+    graphs: List[Dict[str, Any]],
+    node_cap: Optional[int] = None,
+    edge_cap: Optional[int] = None,
+    graph_cap: Optional[int] = None,
+    y_shape: tuple = (),
+    y_dtype=np.int64,
+) -> GraphBatch:
+    """Disjoint-union a list of numpy graph dicts into one padded batch.
+
+    Each graph dict has keys: ``x`` [n, Dx], ``edge_index`` [2, e],
+    ``degrees`` [n] or [n, Kd], ``y``, and optionally ``identifiers``
+    ([n, K] for vertex scope / [e, K] for edge scope) and
+    ``edge_features`` [e, De].
+    """
+    n_tot = sum(g["x"].shape[0] for g in graphs)
+    e_tot = sum(g["edge_index"].shape[1] for g in graphs)
+    node_cap = node_cap or pad_cap(n_tot)
+    edge_cap = edge_cap or pad_cap(e_tot)
+    graph_cap = graph_cap or pad_cap(len(graphs), 8)
+    if n_tot > node_cap or e_tot > edge_cap or len(graphs) > graph_cap:
+        raise ValueError(
+            f"batch exceeds caps: nodes {n_tot}/{node_cap}, "
+            f"edges {e_tot}/{edge_cap}, graphs {len(graphs)}/{graph_cap}")
+
+    g0 = graphs[0]
+    dx = g0["x"].shape[1:] if g0["x"].ndim > 1 else ()
+    x = np.zeros((node_cap,) + dx, dtype=g0["x"].dtype)
+    edge_index = np.zeros((2, edge_cap), dtype=np.int32)
+    batch_vec = np.zeros(node_cap, dtype=np.int32)
+    node_mask = np.zeros(node_cap, dtype=bool)
+    edge_mask = np.zeros(edge_cap, dtype=bool)
+    graph_mask = np.zeros(graph_cap, dtype=bool)
+
+    deg_shape = g0["degrees"].shape[1:] if g0["degrees"].ndim > 1 else ()
+    degrees = np.zeros((node_cap,) + deg_shape, dtype=g0["degrees"].dtype)
+
+    has_ids = "identifiers" in g0 and g0["identifiers"] is not None
+    has_ef = "edge_features" in g0 and g0["edge_features"] is not None
+    if has_ids:
+        k = g0["identifiers"].shape[1]
+        id_on_edges = g0["identifiers"].shape[0] == g0["edge_index"].shape[1] \
+            and g0["identifiers"].shape[0] != g0["x"].shape[0]
+        # ambiguous when n == e for the first graph; disambiguate via flag
+        id_on_edges = bool(g0.get("ids_on_edges", id_on_edges))
+        id_rows = edge_cap if id_on_edges else node_cap
+        identifiers = np.zeros((id_rows, k), dtype=g0["identifiers"].dtype)
+    else:
+        identifiers = None
+    if has_ef:
+        ef_shape = g0["edge_features"].shape[1:]
+        edge_features = np.zeros((edge_cap,) + ef_shape,
+                                 dtype=g0["edge_features"].dtype)
+    else:
+        edge_features = None
+
+    y = np.zeros((graph_cap,) + y_shape, dtype=y_dtype)
+
+    n_off, e_off = 0, 0
+    for gi, g in enumerate(graphs):
+        n, e = g["x"].shape[0], g["edge_index"].shape[1]
+        x[n_off:n_off + n] = g["x"]
+        edge_index[:, e_off:e_off + e] = g["edge_index"] + n_off
+        batch_vec[n_off:n_off + n] = gi
+        node_mask[n_off:n_off + n] = True
+        edge_mask[e_off:e_off + e] = True
+        graph_mask[gi] = True
+        degrees[n_off:n_off + n] = g["degrees"]
+        if has_ids:
+            ids = g["identifiers"]
+            if id_on_edges:
+                identifiers[e_off:e_off + e] = ids
+            else:
+                identifiers[n_off:n_off + n] = ids
+        if has_ef:
+            edge_features[e_off:e_off + e] = g["edge_features"]
+        yg = np.asarray(g["y"])
+        y[gi] = yg.reshape(y_shape) if y_shape else yg.reshape(())
+        n_off += n
+        e_off += e
+
+    return GraphBatch(
+        x=jnp.asarray(x),
+        edge_index=jnp.asarray(edge_index),
+        batch=jnp.asarray(batch_vec),
+        y=jnp.asarray(y),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        graph_mask=jnp.asarray(graph_mask),
+        degrees=jnp.asarray(degrees),
+        identifiers=jnp.asarray(identifiers) if has_ids else None,
+        edge_features=jnp.asarray(edge_features) if has_ef else None,
+    )

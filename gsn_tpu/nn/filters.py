@@ -1,0 +1,170 @@
+"""GSN / MPNN message-passing layer — unified, masked, MXU-shaped.
+
+One module covers the reference's six filter files (``graph_filters/``):
+
+==================  =======================================================
+reference file       this module with
+==================  =======================================================
+GSN_sparse           use_ids=True,  use_edge_features=False, msg general/gin
+GSN_edge_sparse      use_ids=True,  use_edge_features=True,  msg general/gin
+GSN_edge_sparse_ogb  use_ids=True,  use_edge_features=True,  msg 'ogb'
+MPNN_sparse          use_ids=False, use_edge_features=False
+MPNN_edge_sparse     use_ids=False, use_edge_features=True
+MPNN_edge_sparse_ogb use_ids=False, use_edge_features=True,  msg 'ogb'
+==================  =======================================================
+
+Message formulas (exact reference math, file:line cited inline):
+
+- ``general`` (GSN_sparse.py:157-176): per-edge
+  ``m = MLP(cat(x_i, x_j, ids))``, update ``MLP(cat(x, Σ_j m))``.
+- ``gin`` (GSN_sparse.py:103-111): ``m = cat(x_j, id)``, update
+  ``MLP((1+ε)·cat(x, id_ii) + Σ_j m)``, with a CentralEncoder dummy
+  self-loop feature for local-scope ids / edge features.
+- ``ogb`` (GSN_edge_sparse_ogb.py:119-129): ``m = relu(x_j + id + e)``,
+  self message ``x + id`` (global scope) else ``x``, update
+  ``MLP((1+ε)·self + Σ_j m)``.
+
+TPU mapping: gathers at edge endpoints + one batched matmul over the
+padded edge dimension (the SDDMM+MLP hot spot, SURVEY §3.2) followed by a
+sorted masked segment-sum (the SpMM).  Padding edges are masked to zero
+before aggregation; BN inside MLPs is masked.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gsn_tpu.ops.segment import masked_segment_mean, masked_segment_sum
+from .embedding import CentralEncoder
+from .mlp import MLP
+
+
+class GSNLayer(nn.Module):
+    d_up: int                          # output width
+    d_msg: Optional[int] = None        # message width (general kind)
+    d_h: Sequence[int] = ()            # MLP hidden widths
+    msg_kind: str = "general"          # 'general' | 'gin' | 'ogb'
+    id_scope: str = "global"           # 'global' (GSN-v) | 'local' (GSN-e)
+    use_ids: bool = False
+    use_edge_features: bool = False
+    degree_as_tag: bool = False
+    retain_features: bool = True
+    aggr: str = "add"
+    flow: str = "target_to_source"
+    activation_mlp: str = "elu"
+    bn_mlp: bool = False
+    eps: float = 0.0
+    train_eps: bool = False
+    id_embedding_kind: str = "one_hot_encoder"
+    edge_embedding_kind: str = "one_hot_encoder"
+    extend_dims: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                 # [N, d_in]
+        edge_index: jnp.ndarray,        # [2, E]
+        identifiers: Optional[jnp.ndarray] = None,   # [N, d_id] or [E, d_id]
+        degrees: Optional[jnp.ndarray] = None,       # [N, d_degree]
+        edge_features: Optional[jnp.ndarray] = None,  # [E, d_ef]
+        node_mask: Optional[jnp.ndarray] = None,
+        edge_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        if self.degree_as_tag:
+            deg = degrees if degrees.ndim > 1 else degrees[:, None]
+            x = jnp.concatenate([x, deg], -1) if self.retain_features else deg
+
+        n_nodes = x.shape[0]
+        select = 0 if self.flow == "target_to_source" else 1
+        recv = edge_index[select]
+        send = edge_index[1 - select]
+        x_i = x[recv]
+        x_j = x[send]
+
+        ids_edge = ids_i = ids_j = None
+        if self.use_ids:
+            if self.id_scope == "local":
+                ids_edge = identifiers.astype(jnp.float32)
+            else:
+                idf = identifiers.astype(jnp.float32)
+                ids_i, ids_j = idf[recv], idf[send]
+
+        ef = edge_features
+
+        # ---- per-kind message / self-message -----------------------------
+        if self.msg_kind == "general":
+            parts = [x_i, x_j]
+            if self.use_ids:
+                parts += ([ids_edge] if self.id_scope == "local"
+                          else [ids_i, ids_j])
+            if self.use_edge_features:
+                parts.append(ef)
+            msgs = MLP(self.d_msg if self.d_msg is not None else x.shape[-1],
+                       tuple(self.d_h), self.activation_mlp, self.bn_mlp,
+                       name="msg_fn")(
+                           jnp.concatenate(parts, -1), edge_mask, train)
+            agg = self._aggregate(msgs, recv, n_nodes, edge_mask)
+            update_in = jnp.concatenate([x, agg], -1)
+
+        elif self.msg_kind == "gin":
+            self_parts = [x]
+            msg_parts = [x_j]
+            if self.use_ids:
+                if self.id_scope == "local":
+                    central_id = CentralEncoder(
+                        self.id_embedding_kind, ids_edge.shape[-1],
+                        self.extend_dims, name="central_id")
+                    id_ii, ids_edge = central_id(ids_edge, n_nodes)
+                    self_parts.append(id_ii)
+                    msg_parts.append(ids_edge)
+                else:
+                    idf = identifiers.astype(jnp.float32)
+                    self_parts.append(idf)
+                    msg_parts.append(idf[send])
+            if self.use_edge_features:
+                central_ef = CentralEncoder(
+                    self.edge_embedding_kind, ef.shape[-1],
+                    self.extend_dims, name="central_ef")
+                ef_ii, ef = central_ef(ef, n_nodes)
+                self_parts.append(ef_ii)
+                msg_parts.append(ef)
+            self_msg = jnp.concatenate(self_parts, -1)
+            msgs = jnp.concatenate(msg_parts, -1)
+            agg = self._aggregate(msgs, recv, n_nodes, edge_mask)
+            update_in = (1.0 + self._eps()) * self_msg + agg
+
+        elif self.msg_kind == "ogb":
+            m = x_j
+            if self.use_ids:
+                m = m + (ids_edge if self.id_scope == "local"
+                         else ids_j)
+            if self.use_edge_features:
+                m = m + ef
+            msgs = nn.relu(m)
+            agg = self._aggregate(msgs, recv, n_nodes, edge_mask)
+            self_msg = x
+            if self.use_ids and self.id_scope == "global":
+                self_msg = x + identifiers.astype(jnp.float32)
+            update_in = (1.0 + self._eps()) * self_msg + agg
+
+        else:
+            raise NotImplementedError(f"msg kind {self.msg_kind!r}")
+
+        return MLP(self.d_up, tuple(self.d_h), self.activation_mlp,
+                   self.bn_mlp, name="update_fn")(update_in, node_mask, train)
+
+    def _eps(self):
+        if self.train_eps:
+            return self.param("eps", nn.initializers.constant(self.eps), ())
+        return self.eps
+
+    def _aggregate(self, msgs, recv, n_nodes, edge_mask):
+        if self.aggr == "add":
+            return masked_segment_sum(msgs, recv, n_nodes, edge_mask)
+        if self.aggr == "mean":
+            return masked_segment_mean(msgs, recv, n_nodes, edge_mask)
+        raise NotImplementedError(f"aggregation {self.aggr!r}")

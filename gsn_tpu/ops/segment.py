@@ -1,0 +1,81 @@
+"""Masked segment reductions and graph pooling.
+
+These are the TPU-native replacements for the reference's 3-D
+``torch.sparse`` sum aggregation (``GSN_sparse.py:140-143``) and sparse
+graph pooling (``utils_graph_learning.py:23-41``).  On TPU a sorted
+segment-sum lowers to an efficient XLA scatter-add; the Pallas kernels in
+``gsn_tpu.ops.pallas`` fuse the gather + message matmul + scatter for the
+hot path, with these as the semantic reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Segment-sum with optional row mask (padding rows contribute 0)."""
+    if mask is not None:
+        data = jnp.where(mask.reshape((-1,) + (1,) * (data.ndim - 1)),
+                         data, jnp.zeros_like(data))
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted)
+
+
+def masked_segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Mean with zero-guard on empty segments (reference
+    ``degrees[degrees==0]=1`` at ``GSN_sparse.py:147``)."""
+    total = masked_segment_sum(data, segment_ids, num_segments, mask,
+                               indices_are_sorted)
+    ones = jnp.ones(data.shape[0], dtype=data.dtype)
+    denom = masked_segment_sum(ones, segment_ids, num_segments, mask,
+                               indices_are_sorted)
+    denom = jnp.where(denom == 0, jnp.ones_like(denom), denom)
+    return total / denom.reshape((-1,) + (1,) * (data.ndim - 1))
+
+
+def masked_segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    fill: float = 0.0,
+) -> jnp.ndarray:
+    """Max; empty segments get ``fill`` (DGL's max_nodes yields 0 on empty)."""
+    if mask is not None:
+        neg = jnp.full_like(data, -jnp.inf)
+        data = jnp.where(mask.reshape((-1,) + (1,) * (data.ndim - 1)),
+                         data, neg)
+    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    return jnp.where(jnp.isfinite(out), out, jnp.full_like(out, fill))
+
+
+def global_add_pool(x: jnp.ndarray, batch: jnp.ndarray, num_graphs: int,
+                    node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-graph sum readout (reference global_add_pool_sparse)."""
+    return masked_segment_sum(x, batch, num_graphs, node_mask,
+                              indices_are_sorted=True)
+
+
+def global_mean_pool(x: jnp.ndarray, batch: jnp.ndarray, num_graphs: int,
+                     node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-graph mean readout with empty-graph zero-guard (reference
+    global_mean_pool_sparse, ``utils_graph_learning.py:32-41``)."""
+    return masked_segment_mean(x, batch, num_graphs, node_mask,
+                               indices_are_sorted=True)
