@@ -69,6 +69,7 @@ class GSNConfig:
     vn: bool = False
     vn_pooling: str = "sum"
     residual: bool = False
+    bn_axis_name: Any = None   # set inside shard_map for cross-replica BN
 
     # ---- data-dependent dims (filled by the pipeline)
     in_features: int = 1

@@ -70,7 +70,7 @@ def subgraph_isomorphism_edge_counts(
         num_nodes = int(edge_index.max()) + 1 if edge_index.size else 0
 
     native = _native_engine()
-    if native is not None:
+    if native is not None and num_nodes <= 4096:
         return native.edge_counts(edge_index, pattern, induced, num_nodes)
 
     edges = edge_index.T.tolist()

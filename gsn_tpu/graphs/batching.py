@@ -1,0 +1,70 @@
+"""Epoch batching with static-shape buckets.
+
+Shuffled mini-batches are padded to bucket capacities rounded up to
+coarse multiples, so XLA compiles a handful of programs per dataset
+instead of one per batch (SURVEY §7: bucketing policy controls compile
+count and wasted FLOPs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .container import GraphBatch, batch_graphs, pad_cap
+
+NODE_BUCKET = 128
+EDGE_BUCKET = 256
+
+
+def epoch_caps(graphs: List[Dict], batch_size: int) -> Tuple[int, int, int]:
+    """Worst-case per-batch capacities over any batch_size-subset: the sum
+    of the largest batch_size graphs, bucket-rounded.  Shuffle-safe."""
+    n_sizes = sorted((g["x"].shape[0] for g in graphs), reverse=True)
+    e_sizes = sorted((g["edge_index"].shape[1] for g in graphs), reverse=True)
+    node_cap = pad_cap(sum(n_sizes[:batch_size]), NODE_BUCKET)
+    edge_cap = pad_cap(sum(e_sizes[:batch_size]), EDGE_BUCKET)
+    graph_cap = pad_cap(batch_size, 8)
+    return node_cap, edge_cap, graph_cap
+
+
+def tight_epoch_caps(order: np.ndarray, graphs: List[Dict],
+                     batch_size: int) -> Tuple[int, int, int]:
+    """Capacities for a *known* epoch order (tighter than worst-case)."""
+    n_max = e_max = 0
+    for i in range(0, len(order), batch_size):
+        idx = order[i:i + batch_size]
+        n_max = max(n_max, sum(graphs[j]["x"].shape[0] for j in idx))
+        e_max = max(e_max, sum(graphs[j]["edge_index"].shape[1] for j in idx))
+    return (pad_cap(n_max, NODE_BUCKET), pad_cap(e_max, EDGE_BUCKET),
+            pad_cap(batch_size, 8))
+
+
+def iterate_batches(
+    graphs: List[Dict],
+    batch_size: int,
+    shuffle: bool = False,
+    rng: Optional[np.random.RandomState] = None,
+    caps: Optional[Tuple[int, int, int]] = None,
+    y_shape: tuple = (),
+    y_dtype=np.int64,
+    drop_last: bool = False,
+) -> Iterator[GraphBatch]:
+    order = np.arange(len(graphs))
+    if shuffle:
+        (rng or np.random).shuffle(order)
+    if caps is None:
+        caps = tight_epoch_caps(order, graphs, batch_size)
+    node_cap, edge_cap, graph_cap = caps
+    for i in range(0, len(order), batch_size):
+        idx = order[i:i + batch_size]
+        if drop_last and len(idx) < batch_size:
+            break
+        yield batch_graphs([graphs[j] for j in idx], node_cap, edge_cap,
+                           graph_cap, y_shape=y_shape, y_dtype=y_dtype)
+
+
+def infer_y_spec(graphs: List[Dict]) -> Tuple[tuple, type]:
+    y0 = np.asarray(graphs[0]["y"])
+    return tuple(y0.reshape(-1).shape) if y0.ndim else (), y0.dtype

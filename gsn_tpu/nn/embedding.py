@@ -84,6 +84,7 @@ class DiscreteEmbedding(nn.Module):
     bn_mlp: bool = False
     features_scope: str = "full"
     zeros_init: bool = False
+    axis_name: str = None
 
     @property
     def d_out(self) -> int:
@@ -123,7 +124,8 @@ class DiscreteEmbedding(nn.Module):
             return nn.Dense(self.d_out_encoder)(x.astype(jnp.float32))
         if k == "mlp":
             return MLP(self.d_out_encoder, (self.d_out_encoder,),
-                       self.activation_mlp, self.bn_mlp)(
+                       self.activation_mlp, self.bn_mlp,
+                       axis_name=self.axis_name)(
                            x.astype(jnp.float32), mask, train)
         if k == "one_hot_encoder":
             return one_hot_concat(x, self.d_in_encoder)

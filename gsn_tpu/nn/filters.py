@@ -61,6 +61,7 @@ class GSNLayer(nn.Module):
     id_embedding_kind: str = "one_hot_encoder"
     edge_embedding_kind: str = "one_hot_encoder"
     extend_dims: bool = True
+    axis_name: str = None
 
     @nn.compact
     def __call__(
@@ -105,7 +106,7 @@ class GSNLayer(nn.Module):
                 parts.append(ef)
             msgs = MLP(self.d_msg if self.d_msg is not None else x.shape[-1],
                        tuple(self.d_h), self.activation_mlp, self.bn_mlp,
-                       name="msg_fn")(
+                       axis_name=self.axis_name, name="msg_fn")(
                            jnp.concatenate(parts, -1), edge_mask, train)
             agg = self._aggregate(msgs, recv, n_nodes, edge_mask)
             update_in = jnp.concatenate([x, agg], -1)
@@ -155,7 +156,8 @@ class GSNLayer(nn.Module):
             raise NotImplementedError(f"msg kind {self.msg_kind!r}")
 
         return MLP(self.d_up, tuple(self.d_h), self.activation_mlp,
-                   self.bn_mlp, name="update_fn")(update_in, node_mask, train)
+                   self.bn_mlp, axis_name=self.axis_name,
+                   name="update_fn")(update_in, node_mask, train)
 
     def _eps(self):
         if self.train_eps:

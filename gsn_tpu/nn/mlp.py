@@ -35,6 +35,7 @@ class MLP(nn.Module):
     d_hidden: Sequence[int] = ()
     activation: str = "elu"
     batch_norm: bool = False
+    axis_name: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -43,7 +44,8 @@ class MLP(nn.Module):
         for i, d in enumerate(self.d_hidden):
             x = nn.Dense(d, name=f"dense_{i}")(x)
             if self.batch_norm:
-                x = MaskedBatchNorm(name=f"bn_{i}")(
+                x = MaskedBatchNorm(name=f"bn_{i}",
+                                    axis_name=self.axis_name)(
                     x, mask, use_running_average=not train)
             x = act(x)
         return nn.Dense(self.d_out, name=f"dense_{len(self.d_hidden)}")(x)

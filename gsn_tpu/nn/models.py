@@ -117,12 +117,13 @@ class GNNSubstructures(nn.Module):
                 eps=0.0, train_eps=c.train_eps[i],
                 id_embedding_kind=c.id_embedding,
                 edge_embedding_kind=c.edge_encoder,
-                extend_dims=c.extend_dims,
+                extend_dims=c.extend_dims, axis_name=c.bn_axis_name,
                 name=f"conv_{i}")(
                     x, data.edge_index, ids_i, degrees, ef_i, nm, em, train)
 
             if c.bn[i]:
-                x = MaskedBatchNorm(name=f"bn_{i}")(
+                x = MaskedBatchNorm(name=f"bn_{i}",
+                                    axis_name=c.bn_axis_name)(
                     x, nm, use_running_average=not train)
             x = act(x)
             x_interm.append(x)
@@ -226,12 +227,13 @@ class GNN_OGB(nn.Module):
                 eps=0.0, train_eps=c.train_eps[i],
                 id_embedding_kind=c.id_embedding,
                 edge_embedding_kind=c.edge_encoder,
-                extend_dims=c.extend_dims,
+                extend_dims=c.extend_dims, axis_name=c.bn_axis_name,
                 name=f"conv_{i}")(
                     h, data.edge_index, ids_i, degrees, ef_i, nm, em, train)
 
             if c.bn[i]:
-                x = MaskedBatchNorm(name=f"bn_{i}")(
+                x = MaskedBatchNorm(name=f"bn_{i}",
+                                    axis_name=c.bn_axis_name)(
                     x, nm, use_running_average=not train)
 
             # reference :242-245 — no activation on last conv layer

@@ -1,9 +1,13 @@
-"""Masked batch normalization.
+"""Masked batch normalization (optionally cross-replica).
 
 The reference applies ``nn.BatchNorm1d`` over node (or edge) rows; since
 torch batches have no padding, BN statistics see only real rows.  Our
 padded batches must therefore compute *masked* statistics to preserve
 activation parity (SURVEY.md §7 "Static shapes vs graph irregularity").
+
+Under data parallelism the reference's single-device BN sees the whole
+batch; set ``axis_name`` (inside shard_map/pjit) to psum the masked
+moment sums across replicas and keep that parity (SURVEY §7 "BN + DP").
 
 Torch parity details:
 - eps 1e-5, momentum 0.1 (new = (1-m)*old + m*batch);
@@ -15,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -25,7 +30,7 @@ class MaskedBatchNorm(nn.Module):
     use_running_average: bool = False
     momentum: float = 0.1
     epsilon: float = 1e-5
-    dtype = None
+    axis_name: Optional[str] = None   # cross-replica stats when set
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -45,13 +50,20 @@ class MaskedBatchNorm(nn.Module):
         else:
             if mask is None:
                 n = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean(jnp.square(x - mean), axis=0)
+                sum_x = jnp.sum(x, axis=0)
+                sum_x2 = jnp.sum(jnp.square(x), axis=0)
             else:
-                m = mask.astype(jnp.float32)[:, None]
-                n = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=0) / n
-                var = jnp.sum(jnp.square(x - mean) * m, axis=0) / n
+                m = mask.astype(x.dtype)[:, None]
+                n = jnp.sum(m)
+                sum_x = jnp.sum(x * m, axis=0)
+                sum_x2 = jnp.sum(jnp.square(x) * m, axis=0)
+            if self.axis_name is not None:
+                n = jax.lax.psum(n, self.axis_name)
+                sum_x = jax.lax.psum(sum_x, self.axis_name)
+                sum_x2 = jax.lax.psum(sum_x2, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = sum_x / n
+            var = jnp.maximum(sum_x2 / n - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value

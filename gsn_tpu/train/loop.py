@@ -1,0 +1,239 @@
+"""Training / evaluation engine.
+
+TPU-native counterpart of reference ``train_test_funcs.py``: jitted
+train/eval steps over padded batches, Adam + StepLR/Plateau scheduling,
+periodic eval + checkpointing, lr-floor early stop, OGB-evaluator-style
+metrics, and partial-epoch iteration (num_iters wrap-around).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import core, struct
+
+from gsn_tpu.config import GSNConfig
+from gsn_tpu.graphs.batching import (epoch_caps, infer_y_spec,
+                                     iterate_batches)
+from gsn_tpu.graphs.container import GraphBatch
+from gsn_tpu.nn.models import build_model
+from .metrics import LOSSES, PREDICTION_FNS, roc_auc_score
+from .optim import make_optimizer, make_scheduler
+
+
+@struct.dataclass
+class TrainState:
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: Any
+    epoch: int = 0
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    lr: float = 0.01
+    regularization: float = 0.0           # Adam weight_decay
+    scheduler: str = "StepLR"
+    decay_steps: int = 50
+    decay_rate: float = 0.5
+    patience: int = 20
+    min_lr: float = 0.0
+    batch_size: int = 16
+    num_epochs: int = 300
+    num_iters: Optional[int] = None       # partial epochs (wrap-around)
+    num_iters_test: Optional[int] = None
+    eval_frequency: int = 1
+    loss_fn: str = "CrossEntropyLoss"
+    prediction_fn: str = "multi_class_accuracy"
+    evaluator: Optional[str] = None       # None | 'rocauc'
+    seed: int = 0
+    shuffle: bool = True
+
+
+class Trainer:
+    """Owns the jitted steps + python-side scheduler/checkpoint state."""
+
+    def __init__(self, model_cfg: GSNConfig, tcfg: TrainerConfig,
+                 graphs_train: List[Dict]):
+        self.model_cfg = model_cfg.finalize()
+        self.tcfg = tcfg
+        self.model = build_model(self.model_cfg)
+        self.loss_fn = LOSSES[tcfg.loss_fn]
+        self.pred_fn = PREDICTION_FNS.get(tcfg.prediction_fn)
+        self.tx = make_optimizer(tcfg.lr, tcfg.regularization)
+        self.scheduler = make_scheduler(
+            tcfg.scheduler, tcfg.lr, tcfg.decay_steps, tcfg.decay_rate,
+            tcfg.patience)
+        self.caps = epoch_caps(graphs_train, tcfg.batch_size)
+        self.y_shape, self.y_dtype = infer_y_spec(graphs_train)
+        self.rng = np.random.RandomState(tcfg.seed)
+        self._jit_train_step = jax.jit(self._train_step)
+        self._jit_eval_step = jax.jit(self._eval_step)
+
+    # ------------------------------------------------------------------
+    def init_state(self, example: GraphBatch, seed: int = 0) -> TrainState:
+        rngs = {"params": jax.random.PRNGKey(seed),
+                "dropout": jax.random.PRNGKey(seed + 1),
+                "random_features": jax.random.PRNGKey(seed + 2)}
+        variables = self.model.init(rngs, example, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", core.FrozenDict())
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state, epoch=0)
+
+    # ------------------------------------------------------------------
+    def _apply(self, params, batch_stats, data, train, rngs):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = self.model.apply(
+                variables, data, train=True, rngs=rngs,
+                mutable=["batch_stats"])
+            return out, mutated["batch_stats"]
+        return self.model.apply(variables, data, train=False,
+                                rngs=rngs), batch_stats
+
+    def _train_step(self, state: TrainState, data: GraphBatch, lr,
+                    rng_key):
+        rngs = {"dropout": rng_key,
+                "random_features": jax.random.fold_in(rng_key, 1)}
+
+        def loss_wrapped(params):
+            y_hat, new_stats = self._apply(params, state.batch_stats, data,
+                                           True, rngs)
+            loss = self.loss_fn(y_hat, data.y, data.graph_mask)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_wrapped, has_aux=True)(state.params)
+        opt_state = self._with_lr(state.opt_state, lr)
+        updates, opt_state = self.tx.update(grads, opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        return dataclasses.replace(
+            state, params=params, batch_stats=new_stats,
+            opt_state=opt_state), loss
+
+    @staticmethod
+    def _with_lr(opt_state, lr):
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return opt_state._replace(hyperparams=hp)
+
+    def _eval_step(self, state: TrainState, data: GraphBatch):
+        y_hat, _ = self._apply(state.params, state.batch_stats, data,
+                               False, None)
+        loss = self.loss_fn(y_hat, data.y, data.graph_mask)
+        num = jnp.sum(data.graph_mask)
+        acc_sum = (self.pred_fn(y_hat, data.y, data.graph_mask)
+                   if self.pred_fn is not None else jnp.asarray(0.0))
+        return y_hat, loss, num, acc_sum
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, state: TrainState, graphs: List[Dict]):
+        it = iterate_batches(graphs, self.tcfg.batch_size,
+                             shuffle=self.tcfg.shuffle, rng=self.rng,
+                             caps=self.caps, y_shape=self.y_shape,
+                             y_dtype=self.y_dtype)
+        batches = list(it)
+        n_iters = self.tcfg.num_iters or len(batches)
+        losses = []
+        k = 0
+        for it_idx in range(n_iters):
+            if k >= len(batches):
+                k = 0
+            data = batches[k]
+            k += 1
+            key = jax.random.PRNGKey(
+                self.rng.randint(0, 2**31 - 1))
+            state, loss = self._jit_train_step(
+                state, data, self.scheduler.lr, key)
+            losses.append(float(loss))
+        state = dataclasses.replace(state, epoch=state.epoch + 1)
+        return state, float(np.mean(losses)) if losses else 0.0
+
+    def evaluate(self, state: TrainState, graphs: List[Dict],
+                 n_iters: Optional[int] = None):
+        """Returns (avg_loss, avg_metric).  avg_loss weights each batch
+        loss by its graph count (reference test(), :198-206); metric is
+        either the sum-reduction prediction fn / |D| or the evaluator
+        (ROC-AUC) on concatenated predictions."""
+        total_loss = total_acc = 0.0
+        total_n = 0
+        y_true_all, y_pred_all = [], []
+        for data in iterate_batches(graphs, self.tcfg.batch_size,
+                                    shuffle=False, caps=self.caps,
+                                    y_shape=self.y_shape,
+                                    y_dtype=self.y_dtype):
+            y_hat, loss, num, acc_sum = self._jit_eval_step(state, data)
+            n = int(num)
+            total_loss += float(loss) * n
+            total_acc += float(acc_sum)
+            total_n += n
+            if self.tcfg.evaluator is not None:
+                mask = np.asarray(data.graph_mask)
+                y_true_all.append(np.asarray(data.y)[mask])
+                y_pred_all.append(np.asarray(y_hat)[mask])
+        avg_loss = total_loss / max(total_n, 1)
+        if self.tcfg.evaluator == "rocauc":
+            metric = roc_auc_score(np.concatenate(y_true_all),
+                                   np.concatenate(y_pred_all))
+        else:
+            metric = total_acc / max(total_n, 1)
+        return avg_loss, metric
+
+    # ------------------------------------------------------------------
+    def fit(self, state: TrainState, graphs_train: List[Dict],
+            graphs_test: List[Dict],
+            graphs_val: Optional[List[Dict]] = None,
+            checkpoint_file: Optional[str] = None,
+            log_fn: Optional[Callable] = print):
+        """Full training loop (reference train(), train_test_funcs.py:48-174).
+
+        Returns (state, history dict of per-eval losses/metrics)."""
+        hist = {"train_losses": [], "train_accs": [], "test_losses": [],
+                "test_accs": [], "val_losses": [], "val_accs": []}
+        t = self.tcfg
+        for epoch in range(state.epoch, t.num_epochs):
+            state, _ = self.train_epoch(state, graphs_train)
+            if not isinstance(self.scheduler, type(None)) \
+                    and self.scheduler.__class__.__name__ == "StepLR":
+                self.scheduler.step()
+
+            if epoch % t.eval_frequency == 0:
+                train_loss, train_acc = self.evaluate(
+                    state, graphs_train, t.num_iters_test)
+                test_loss, test_acc = self.evaluate(
+                    state, graphs_test, t.num_iters_test)
+                hist["train_losses"].append(train_loss)
+                hist["train_accs"].append(train_acc)
+                hist["test_losses"].append(test_loss)
+                hist["test_accs"].append(test_acc)
+                if graphs_val is not None:
+                    val_loss, val_acc = self.evaluate(
+                        state, graphs_val, t.num_iters_test)
+                    hist["val_losses"].append(val_loss)
+                    hist["val_accs"].append(val_acc)
+                if self.scheduler.__class__.__name__ == "ReduceLROnPlateau":
+                    ref = (hist["val_losses"][-1] if graphs_val is not None
+                           else test_loss)
+                    self.scheduler.step(ref)
+                if log_fn:
+                    msg = (f"Epoch: {epoch:03d}, Train: {train_acc:.4f}, "
+                           f"Test: {test_acc:.4f}")
+                    if graphs_val is not None:
+                        msg += (f", Val: {hist['val_accs'][-1]:.4f}, "
+                                f"Val Loss: {hist['val_losses'][-1]:.4f}")
+                    msg += f", lr: {self.scheduler.lr:.8f}"
+                    log_fn(msg)
+                if checkpoint_file:
+                    from .checkpoint import save_checkpoint
+                    save_checkpoint(checkpoint_file, state, self.scheduler)
+
+            if self.scheduler.lr < t.min_lr:
+                break
+        return state, hist
