@@ -177,11 +177,14 @@ def prepare_dataset(
     root_folder: Optional[str] = None,
     num_processes: int = 1,
     use_cache: bool = True,
+    cache_root: Optional[str] = None,
 ):
     """Full prepare path with caching (reference utils.py:197-279).
 
+    ``cache_root`` overrides where the processed cache lives (the raw
+    data location may be read-only, e.g. the mounted reference datasets).
     Returns (graphs, num_classes, orbit_partition_sizes)."""
-    data_folder = os.path.join(path, "processed", id_scope)
+    data_folder = os.path.join(cache_root or path, "processed", id_scope)
     k_val = k[0] if isinstance(k, (list, tuple)) else k
     cache_file = (os.path.join(
         data_folder,

@@ -17,27 +17,43 @@ from .container import GraphBatch, batch_graphs, pad_cap
 NODE_BUCKET = 128
 EDGE_BUCKET = 256
 
+# geometric bucket boundaries: each ~1.33x the previous, so tight
+# per-epoch capacities land on a handful of distinct XLA shapes even
+# when shuffling reshuffles the worst batch every epoch
+_BUCKETS = [128]
+while _BUCKETS[-1] < 64 * 1024 * 1024:
+    nxt = _BUCKETS[-1] * 4 // 3
+    _BUCKETS.append(((nxt + 63) // 64) * 64)
+
+
+def round_to_bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if b >= n:
+            return b
+    return pad_cap(n, 1024)
+
 
 def epoch_caps(graphs: List[Dict], batch_size: int) -> Tuple[int, int, int]:
     """Worst-case per-batch capacities over any batch_size-subset: the sum
     of the largest batch_size graphs, bucket-rounded.  Shuffle-safe."""
     n_sizes = sorted((g["x"].shape[0] for g in graphs), reverse=True)
     e_sizes = sorted((g["edge_index"].shape[1] for g in graphs), reverse=True)
-    node_cap = pad_cap(sum(n_sizes[:batch_size]), NODE_BUCKET)
-    edge_cap = pad_cap(sum(e_sizes[:batch_size]), EDGE_BUCKET)
+    node_cap = round_to_bucket(sum(n_sizes[:batch_size]))
+    edge_cap = round_to_bucket(sum(e_sizes[:batch_size]))
     graph_cap = pad_cap(batch_size, 8)
     return node_cap, edge_cap, graph_cap
 
 
 def tight_epoch_caps(order: np.ndarray, graphs: List[Dict],
                      batch_size: int) -> Tuple[int, int, int]:
-    """Capacities for a *known* epoch order (tighter than worst-case)."""
+    """Capacities for a *known* epoch order, geometric-bucket-rounded
+    (tighter than worst-case; bounded shape variety across epochs)."""
     n_max = e_max = 0
     for i in range(0, len(order), batch_size):
         idx = order[i:i + batch_size]
         n_max = max(n_max, sum(graphs[j]["x"].shape[0] for j in idx))
         e_max = max(e_max, sum(graphs[j]["edge_index"].shape[1] for j in idx))
-    return (pad_cap(n_max, NODE_BUCKET), pad_cap(e_max, EDGE_BUCKET),
+    return (round_to_bucket(n_max), round_to_bucket(e_max),
             pad_cap(batch_size, 8))
 
 

@@ -52,6 +52,8 @@ class TrainerConfig:
     evaluator: Optional[str] = None       # None | 'rocauc'
     seed: int = 0
     shuffle: bool = True
+    caps_mode: str = "worst"   # 'worst' = one shape forever; 'tight' =
+    #                            per-epoch bucketed caps (skewed datasets)
 
 
 class Trainer:
@@ -68,7 +70,8 @@ class Trainer:
         self.scheduler = make_scheduler(
             tcfg.scheduler, tcfg.lr, tcfg.decay_steps, tcfg.decay_rate,
             tcfg.patience)
-        self.caps = epoch_caps(graphs_train, tcfg.batch_size)
+        self.caps = (epoch_caps(graphs_train, tcfg.batch_size)
+                     if tcfg.caps_mode == "worst" else None)
         self.y_shape, self.y_dtype = infer_y_spec(graphs_train)
         self.rng = np.random.RandomState(tcfg.seed)
         self._jit_train_step = jax.jit(self._train_step)
