@@ -42,6 +42,9 @@ class GraphBatch:
     degrees: jnp.ndarray           # [N] or [N, Kd]
     identifiers: Optional[jnp.ndarray] = None   # [N, K] or [E, K]
     edge_features: Optional[jnp.ndarray] = None  # [E, De]
+    # DGN vector fields (directional_gsn): node- and edge-level 'eig'
+    node_eig: Optional[jnp.ndarray] = None      # [N, Dv]
+    edge_eig: Optional[jnp.ndarray] = None      # [E, Dv]
 
     @property
     def num_node_slots(self) -> int:
@@ -127,6 +130,13 @@ def batch_graphs(
 
     y = np.zeros((graph_cap,) + y_shape, dtype=y_dtype)
 
+    has_neig = "node_eig" in g0 and g0["node_eig"] is not None
+    has_eeig = "edge_eig" in g0 and g0["edge_eig"] is not None
+    node_eig = (np.zeros((node_cap, g0["node_eig"].shape[1]), np.float32)
+                if has_neig else None)
+    edge_eig = (np.zeros((edge_cap, g0["edge_eig"].shape[1]), np.float32)
+                if has_eeig else None)
+
     n_off, e_off = 0, 0
     for gi, g in enumerate(graphs):
         n, e = g["x"].shape[0], g["edge_index"].shape[1]
@@ -145,6 +155,10 @@ def batch_graphs(
                 identifiers[n_off:n_off + n] = ids
         if has_ef:
             edge_features[e_off:e_off + e] = g["edge_features"]
+        if has_neig:
+            node_eig[n_off:n_off + n] = g["node_eig"]
+        if has_eeig:
+            edge_eig[e_off:e_off + e] = g["edge_eig"]
         yg = np.asarray(g["y"])
         y[gi] = yg.reshape(y_shape) if y_shape else yg.reshape(())
         n_off += n
@@ -161,4 +175,6 @@ def batch_graphs(
         degrees=jnp.asarray(degrees),
         identifiers=jnp.asarray(identifiers) if has_ids else None,
         edge_features=jnp.asarray(edge_features) if has_ef else None,
+        node_eig=jnp.asarray(node_eig) if has_neig else None,
+        edge_eig=jnp.asarray(edge_eig) if has_eeig else None,
     )

@@ -1,0 +1,307 @@
+"""Directional Graph Network (DGN) layer + model — TPU-native rebuild of
+the reference ``directional_gsn/nets/*``.
+
+The reference aggregates with DGL's dense padded mailboxes
+(``dgn_layer.py:42-53``); here every aggregator is re-derived as masked
+*segment* ops over the edge list (SURVEY §7: "all expressible as segment
+ops; no padding mailbox needed"), which keeps shapes static and lets XLA
+fuse the directional weightings into the gathers.
+
+Aggregator math (``aggregators.py:8-71``), with vf = per-edge vector
+field and N(v) = in-neighborhood:
+- mean/sum/max/min/var/std: standard masked segment reductions;
+- dir-av:   out_v = sum_e w_e h_src(e),  w_e = |vf_e| / (sum|vf|+EPS);
+- dir-dx:   out_v = |sum_e u_e h_src(e) - (sum_e u_e) h_v|,
+            u_e = vf_e / (sum|vf|+EPS)  (discrete derivative);
+- dir-dx-no-abs / dir-dx-balanced, dir-softmax: same pattern with signed
+  / softmaxed weights.
+
+Scalers (``scalers.py``) are PNA log-degree scalings using train-set
+averages avg_d; D is the per-node in-degree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gsn_tpu.graphs.container import GraphBatch
+from gsn_tpu.ops.norm import MaskedBatchNorm
+from gsn_tpu.ops.segment import (masked_segment_max, masked_segment_mean,
+                                 masked_segment_sum)
+from .embedding import DiscreteEmbedding
+
+EPS = 1e-8
+
+
+# ---------------------------------------------------------------------------
+# aggregators as segment ops
+# ---------------------------------------------------------------------------
+
+def _segment_min(h, dst, n, mask):
+    return -masked_segment_max(-h, dst, n, mask)
+
+
+def _dir_weights(vf_col, dst, n, mask, signed: bool):
+    """w_e = vf_e / (sum_{e into dst} |vf_e| + EPS); |.| if not signed."""
+    denom = masked_segment_sum(jnp.abs(vf_col), dst, n, mask)
+    num = vf_col if signed else jnp.abs(vf_col)
+    return num / (denom[dst] + EPS)
+
+
+def dgn_aggregate(
+    name: str,
+    h_src: jnp.ndarray,        # [E, d] gathered source features
+    vf: Optional[jnp.ndarray],  # [E, Dv] per-edge vector field
+    h_in: jnp.ndarray,         # [N, d]
+    dst: jnp.ndarray,          # [E]
+    num_nodes: int,
+    edge_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    if name == "mean":
+        return masked_segment_mean(h_src, dst, num_nodes, edge_mask)
+    if name == "sum":
+        return masked_segment_sum(h_src, dst, num_nodes, edge_mask)
+    if name == "max":
+        return masked_segment_max(h_src, dst, num_nodes, edge_mask)
+    if name == "min":
+        return _segment_min(h_src, dst, num_nodes, edge_mask)
+    if name == "var" or name == "std":
+        m2 = masked_segment_mean(h_src * h_src, dst, num_nodes, edge_mask)
+        m = masked_segment_mean(h_src, dst, num_nodes, edge_mask)
+        var = nn.relu(m2 - m * m)
+        return jnp.sqrt(var + EPS) if name == "std" else var
+
+    if name.startswith("dir"):
+        # 'dir{i}-av' | 'dir{i}-dx' | 'dir{i}-dx-no-abs' |
+        # 'dir{i}-dx-balanced' | 'dir{i}-{alpha}' (softmax)
+        parts = name.split("-", 1)
+        eig_idx = int(parts[0][3:])
+        kind = parts[1]
+        col = vf[:, eig_idx]
+        if kind == "av":
+            w = _dir_weights(col, dst, num_nodes, edge_mask, signed=False)
+            w = jnp.where(edge_mask, w, 0.0)
+            return masked_segment_sum(h_src * w[:, None], dst, num_nodes,
+                                      edge_mask)
+        if kind in ("dx", "dx-no-abs"):
+            u = _dir_weights(col, dst, num_nodes, edge_mask, signed=True)
+            u = jnp.where(edge_mask, u, 0.0)
+            agg = masked_segment_sum(h_src * u[:, None], dst, num_nodes,
+                                     edge_mask)
+            u_sum = masked_segment_sum(u, dst, num_nodes, edge_mask)
+            out = agg - u_sum[:, None] * h_in
+            return jnp.abs(out) if kind == "dx" else out
+        if kind == "dx-balanced":
+            front = nn.relu(col)
+            back = nn.relu(-col)
+            df = masked_segment_sum(jnp.abs(front), dst, num_nodes,
+                                    edge_mask)
+            db = masked_segment_sum(jnp.abs(back), dst, num_nodes,
+                                    edge_mask)
+            u = (front / (df[dst] + EPS) + back / (db[dst] + EPS)) / 2.0
+            u = jnp.where(edge_mask, u, 0.0)
+            agg = masked_segment_sum(h_src * u[:, None], dst, num_nodes,
+                                     edge_mask)
+            u_sum = masked_segment_sum(u, dst, num_nodes, edge_mask)
+            return jnp.abs(agg - u_sum[:, None] * h_in)
+        # softmax aggregators: 'dir{i}-0.1' / 'dir{i}-neg-0.1'
+        alpha_str = kind
+        neg = alpha_str.startswith("neg-")
+        alpha = float(alpha_str[4:]) if neg else float(alpha_str)
+        if neg:
+            alpha = -alpha
+        logits = alpha * jnp.abs(col)
+        seg_max = masked_segment_max(logits, dst, num_nodes, edge_mask)
+        ex = jnp.where(edge_mask, jnp.exp(logits - seg_max[dst]), 0.0)
+        denom = masked_segment_sum(ex, dst, num_nodes, edge_mask)
+        w = ex / (denom[dst] + EPS)
+        return masked_segment_sum(h_src * w[:, None], dst, num_nodes,
+                                  edge_mask)
+
+    raise NotImplementedError(f"aggregator {name!r}")
+
+
+def dgn_scale(name: str, h: jnp.ndarray, deg: jnp.ndarray,
+              avg_d: Dict[str, float]) -> jnp.ndarray:
+    """PNA degree scalers (reference scalers.py); deg = in-degree [N]."""
+    if name == "identity":
+        return h
+    logd = jnp.log(deg + 1.0)
+    if name == "amplification":
+        return h * (logd / avg_d["log"])[:, None]
+    if name == "attenuation":
+        return h * (avg_d["log"] / jnp.maximum(logd, EPS))[:, None]
+    raise NotImplementedError(f"scaler {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+
+class DGNMlp(nn.Module):
+    """FC stack: linear -> relu between layers, none after last
+    (reference layers.py MLP with mid_activation relu)."""
+
+    hidden: int
+    out: int
+    layers: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, name=f"fc_{i}")(x))
+        return nn.Dense(self.out, name=f"fc_{self.layers - 1}")(x)
+
+
+class DGNLayerSimple(nn.Module):
+    """reference dgn_layer.py:11-82 ('simple' type — the only runnable
+    variant; 'complex'/'towers' reference missing classes, SURVEY §2 #26).
+
+    vector_field per edge = (eig_src - eig_dst) for node-level fields,
+    concat edge-level fields (pretrans_edges, :30-37)."""
+
+    out_dim: int
+    aggregators: Sequence[str]
+    scalers: Sequence[str]
+    avg_d: Dict[str, float]
+    dropout: float = 0.0
+    graph_norm: bool = False
+    batch_norm: bool = True
+    residual: bool = True
+    posttrans_layers: int = 1
+
+    @nn.compact
+    def __call__(self, h, data: GraphBatch, snorm_n=None, train=False):
+        src = data.edge_index[0]
+        dst = data.edge_index[1]
+        em, nm = data.edge_mask, data.node_mask
+        n = h.shape[0]
+
+        vf_parts = []
+        if data.node_eig is not None:
+            vf_parts.append(data.node_eig[src] - data.node_eig[dst])
+        if data.edge_eig is not None:
+            vf_parts.append(data.edge_eig)
+        vf = jnp.concatenate(vf_parts, axis=1) if vf_parts else None
+
+        h_in = h
+        h_src = h[src]
+        deg = masked_segment_sum(jnp.ones_like(dst, jnp.float32), dst, n, em)
+
+        agg = jnp.concatenate(
+            [dgn_aggregate(a, h_src, vf, h_in, dst, n, em)
+             for a in self.aggregators], axis=1)
+        if len(self.scalers) > 1:
+            agg = jnp.concatenate(
+                [dgn_scale(s, agg, deg, self.avg_d) for s in self.scalers],
+                axis=1)
+
+        h = DGNMlp(self.out_dim, self.out_dim, self.posttrans_layers,
+                   name="posttrans")(agg)
+        if self.graph_norm:
+            h = h * snorm_n
+        if self.batch_norm:
+            h = MaskedBatchNorm(name="bn")(h, nm,
+                                           use_running_average=not train)
+        h = nn.relu(h)
+        if self.residual and h_in.shape[-1] == self.out_dim:
+            h = h_in + h
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        return h
+
+
+@dataclasses.dataclass
+class DGNConfig:
+    hidden_dim: int = 70
+    out_dim: int = 70
+    num_layers: int = 4
+    aggregators: Tuple[str, ...] = ("mean", "max", "min",
+                                    "dir0-av", "dir1-av", "dir2-av",
+                                    "dir3-av")
+    scalers: Tuple[str, ...] = ("identity",)
+    avg_d: Optional[Dict[str, float]] = None
+    readout: str = "mean"
+    residual: bool = True
+    edge_feat: bool = False
+    edge_dim: int = 0
+    in_feat_dropout: float = 0.0
+    dropout: float = 0.3
+    graph_norm: bool = False
+    batch_norm: bool = True
+    pos_enc_dim: int = 0
+    posttrans_layers: int = 1
+    out_features: int = 1
+
+
+class DGNNet(nn.Module):
+    """reference dgn_net.py:8-85: AtomEncoder input, L stacked DGN-simple
+    layers, sum/max/mean readout, halving-width MLPReadout head."""
+
+    cfg: DGNConfig
+
+    @nn.compact
+    def __call__(self, data: GraphBatch, train: bool = False):
+        c = self.cfg
+        nm = data.node_mask
+        num_graphs = data.num_graph_slots
+
+        h = DiscreteEmbedding("atom_encoder", data.x.shape[1], None,
+                              c.hidden_dim, name="embedding_h")(
+                                  data.x, nm, train)
+        h = nn.Dropout(c.in_feat_dropout)(h, deterministic=not train)
+        if c.pos_enc_dim > 0 and data.node_eig is not None:
+            pos = data.node_eig[:, 1:c.pos_enc_dim + 1]
+            h = h + nn.Dense(c.hidden_dim, name="embedding_pos_enc")(pos)
+
+        # snorm_n = sqrt(1/n_g) per node (reference HIV.py collate :176-178)
+        sizes = masked_segment_sum(nm.astype(jnp.float32), data.batch,
+                                   num_graphs, nm)
+        snorm = jnp.sqrt(1.0 / jnp.maximum(sizes, 1.0))[data.batch][:, None]
+
+        avg_d = c.avg_d or {"log": 1.0}
+        for i in range(c.num_layers):
+            out_dim = c.out_dim if i == c.num_layers - 1 else c.hidden_dim
+            h = DGNLayerSimple(
+                out_dim=out_dim, aggregators=tuple(c.aggregators),
+                scalers=tuple(c.scalers), avg_d=avg_d, dropout=c.dropout,
+                graph_norm=c.graph_norm, batch_norm=c.batch_norm,
+                residual=c.residual, posttrans_layers=c.posttrans_layers,
+                name=f"layer_{i}")(h, data, snorm, train)
+
+        if c.readout == "sum":
+            hg = masked_segment_sum(h, data.batch, num_graphs, nm)
+        elif c.readout == "max":
+            hg = masked_segment_max(h, data.batch, num_graphs, nm)
+        else:
+            hg = masked_segment_mean(h, data.batch, num_graphs, nm)
+
+        # MLPReadout: halving widths, L=2 (reference mlp_readout_layer.py)
+        y = hg
+        d = c.out_dim
+        for l in range(2):
+            y = nn.relu(nn.Dense(d // 2 ** (l + 1),
+                                 name=f"readout_fc_{l}")(y))
+        return nn.Dense(c.out_features, name="readout_fc_2")(y)
+
+
+def compute_avg_d(graphs: List[Dict]) -> Dict[str, float]:
+    """Train-set degree statistics (reference main_HIV.py:359-363)."""
+    import numpy as np
+    degs = []
+    for g in graphs:
+        n = g["x"].shape[0]
+        d = np.zeros(n)
+        if g["edge_index"].size:
+            np.add.at(d, g["edge_index"][1], 1.0)
+        degs.append(d)
+    D = np.concatenate(degs)
+    return {
+        "lin": float(np.mean(D)),
+        "exp": float(np.mean(np.exp(1.0 / np.maximum(D, 1e-30)) - 1.0)),
+        "log": float(np.mean(np.log(D + 1.0))),
+    }

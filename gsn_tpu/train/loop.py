@@ -59,11 +59,13 @@ class TrainerConfig:
 class Trainer:
     """Owns the jitted steps + python-side scheduler/checkpoint state."""
 
-    def __init__(self, model_cfg: GSNConfig, tcfg: TrainerConfig,
-                 graphs_train: List[Dict]):
-        self.model_cfg = model_cfg.finalize()
+    def __init__(self, model_cfg, tcfg: TrainerConfig,
+                 graphs_train: List[Dict], model=None):
+        self.model_cfg = (model_cfg.finalize()
+                          if hasattr(model_cfg, "finalize") else model_cfg)
         self.tcfg = tcfg
-        self.model = build_model(self.model_cfg)
+        self.model = model if model is not None \
+            else build_model(self.model_cfg)
         self.loss_fn = LOSSES[tcfg.loss_fn]
         self.pred_fn = PREDICTION_FNS.get(tcfg.prediction_fn)
         self.tx = make_optimizer(tcfg.lr, tcfg.regularization)

@@ -1,0 +1,162 @@
+"""DGN (directional_gsn) tests: aggregator math vs hand-built dense
+mailbox oracles, layer/model forward, synthetic learnability."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsn_tpu.data.directional import assemble_directions, laplacian_eig
+from gsn_tpu.graphs.batching import iterate_batches
+from gsn_tpu.graphs.container import batch_graphs
+from gsn_tpu.nn.dgn import (DGNConfig, DGNNet, compute_avg_d, dgn_aggregate,
+                            dgn_scale, EPS)
+
+
+def dense_oracle(name, h_src_all, vf_all, h_in, edges, num_nodes):
+    """Reference-style padded-mailbox computation in numpy
+    (aggregators.py:8-71)."""
+    outs = np.zeros((num_nodes, h_in.shape[1]))
+    for v in range(num_nodes):
+        idx = [i for i, (s, d) in enumerate(edges) if d == v]
+        if not idx:
+            continue
+        h = h_src_all[idx]                      # [deg, d]
+        vf = vf_all[idx] if vf_all is not None else None
+        if name == "mean":
+            outs[v] = h.mean(0)
+        elif name == "sum":
+            outs[v] = h.sum(0)
+        elif name == "max":
+            outs[v] = h.max(0)
+        elif name == "min":
+            outs[v] = h.min(0)
+        elif name == "var":
+            outs[v] = np.maximum((h * h).mean(0) - h.mean(0) ** 2, 0)
+        elif name == "std":
+            outs[v] = np.sqrt(
+                np.maximum((h * h).mean(0) - h.mean(0) ** 2, 0) + EPS)
+        elif name == "dir0-av":
+            w = np.abs(vf[:, 0]) / (np.abs(vf[:, 0]).sum() + EPS)
+            outs[v] = (h * w[:, None]).sum(0)
+        elif name == "dir0-dx":
+            u = vf[:, 0] / (np.abs(vf[:, 0]).sum() + EPS)
+            outs[v] = np.abs((h * u[:, None]).sum(0) - u.sum() * h_in[v])
+        elif name == "dir0-dx-no-abs":
+            u = vf[:, 0] / (np.abs(vf[:, 0]).sum() + EPS)
+            outs[v] = (h * u[:, None]).sum(0) - u.sum() * h_in[v]
+        elif name == "dir0-0.1":
+            lg = 0.1 * np.abs(vf[:, 0])
+            w = np.exp(lg - lg.max())
+            w = w / w.sum()
+            outs[v] = (h * w[:, None]).sum(0)
+        else:
+            raise NotImplementedError(name)
+    return outs
+
+
+@pytest.mark.parametrize("name", ["mean", "sum", "max", "min", "var", "std",
+                                  "dir0-av", "dir0-dx", "dir0-dx-no-abs",
+                                  "dir0-0.1"])
+def test_aggregators_match_dense_oracle(name):
+    rng = np.random.RandomState(3)
+    n, d, dv = 7, 5, 2
+    edges = [(s, t) for s in range(n) for t in range(n)
+             if s != t and rng.rand() < 0.45]
+    h_in = rng.randn(n, d).astype(np.float32)
+    vf = rng.randn(len(edges), dv).astype(np.float32)
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    h_src = h_in[src]
+
+    got = np.asarray(dgn_aggregate(
+        name, jnp.asarray(h_src), jnp.asarray(vf), jnp.asarray(h_in),
+        jnp.asarray(dst), n, jnp.ones(len(edges), bool)))
+    want = dense_oracle(name, h_src, vf, h_in, edges, n)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_scalers():
+    h = jnp.ones((4, 3))
+    deg = jnp.array([1.0, 2.0, 3.0, 4.0])
+    avg_d = {"log": 1.1}
+    out = np.asarray(dgn_scale("amplification", h, deg, avg_d))
+    np.testing.assert_allclose(out[:, 0], np.log(np.arange(1, 5) + 1) / 1.1,
+                               rtol=1e-6)
+    out = np.asarray(dgn_scale("attenuation", h, deg, avg_d))
+    np.testing.assert_allclose(out[:, 0], 1.1 / np.log(np.arange(1, 5) + 1),
+                               rtol=1e-6)
+
+
+def test_laplacian_eig_path_graph():
+    # path graph P3: L eigenvalues 0, 1, 3
+    ei = np.array([[0, 1, 1, 2], [1, 0, 2, 1]])
+    vecs = laplacian_eig(ei, 3, 3)
+    assert vecs.shape == (3, 3)
+    # first eigenvector is constant (eigenvalue 0)
+    v0 = vecs[:, 0]
+    np.testing.assert_allclose(v0, v0[0], rtol=1e-5)
+
+
+def _mol_like_graphs(num=40, seed=0):
+    rng = np.random.RandomState(seed)
+    graphs = []
+    for i in range(num):
+        n = rng.randint(8, 16)
+        edges = {(j, j + 1) for j in range(n - 1)}
+        label = i % 2
+        if label:
+            edges |= {(0, 2), (2, 4)}  # add triangles
+        both = sorted([(u, v) for u, v in edges]
+                      + [(v, u) for u, v in edges])
+        ei = np.array(both).T
+        x = np.zeros((n, 9), dtype=np.int64)
+        x[:, 0] = rng.randint(0, 20, n)
+        counts = rng.rand(ei.shape[1], 4).astype(np.float32)
+        graphs.append({
+            "x": x, "edge_index": ei,
+            "identifiers": counts, "ids_on_edges": True,
+            "degrees": np.zeros(n, np.float32),
+            "y": np.float32(label),
+        })
+    return graphs
+
+
+def test_dgn_forward_and_gradients():
+    graphs = _mol_like_graphs()
+    graphs = assemble_directions(graphs, directions=("eig", "subgraphs"),
+                                 id_scope="local")
+    avg_d = compute_avg_d(graphs)
+    cfg = DGNConfig(hidden_dim=32, out_dim=32, num_layers=2,
+                    aggregators=("mean", "max", "min", "dir1-dx",
+                                 "dir1-av"),
+                    avg_d=avg_d)
+    model = DGNNet(cfg)
+    data = next(iterate_batches(graphs, 16, y_shape=(), y_dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), data, train=False)
+    out = model.apply(variables, data, train=False)
+    assert out.shape == (data.num_graph_slots, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # gradient flows
+    def loss(params):
+        y = model.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]},
+                        data, train=True, rngs={"dropout":
+                                                jax.random.PRNGKey(1)},
+                        mutable=["batch_stats"])[0]
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    norms = [float(jnp.abs(x).sum())
+             for x in jax.tree_util.tree_leaves(g)]
+    assert any(v > 0 for v in norms)
+
+
+def test_drop_small_graphs():
+    g_small = {"x": np.zeros((4, 9), np.int64),
+               "edge_index": np.array([[0, 1], [1, 0]]),
+               "identifiers": np.zeros((2, 1), np.float32),
+               "degrees": np.zeros(4), "y": np.float32(0)}
+    out = assemble_directions([g_small], directions=("subgraphs",))
+    assert out == []
