@@ -1,10 +1,12 @@
-"""Throughput benchmark: edges/s/chip on the flagship GSN forward+train
-step over a ZINC-scale synthetic batch.
+"""Throughput benchmark: edges/s/chip on the flagship GSN train step.
+
+Workload: ZINC-scale molecular graphs (GSN_edge_sparse, general msg,
+vertex-scope cycle ids, edge features, d=128, 4 layers) in one large
+padded batch, full forward+backward+Adam per step.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no throughput numbers (SURVEY §6), so
-vs_baseline is measured against a same-math jax baseline path (naive
-unfused segment ops) when available, else 1.0.
+The reference publishes no throughput numbers (SURVEY §6); vs_baseline
+is left at 1.0 until a recorded baseline exists.
 """
 
 import json
@@ -12,26 +14,63 @@ import time
 
 import numpy as np
 
+BATCH_GRAPHS = 1024
+ITERS = 30
+
+
+def make_zinc_like(num_graphs, seed=0):
+    from gsn_tpu.data.encoding import encode
+    from gsn_tpu.data.pipeline import generate_dataset
+    from gsn_tpu.graphs.patterns import cycle_graph
+
+    rng = np.random.RandomState(seed)
+    graphs = []
+    for _ in range(num_graphs):
+        n = int(rng.randint(15, 35))
+        edges = {(i, i + 1) for i in range(n - 1)}
+        for _ in range(n // 4):
+            u, v = rng.randint(0, n, 2)
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+        both = sorted([(u, v) for u, v in edges]
+                      + [(v, u) for u, v in edges])
+        ei = np.array(both, dtype=np.int64).T
+        graphs.append({
+            "x": rng.randint(0, 28, (n, 1)).astype(np.int64),
+            "edge_index": ei,
+            "edge_features": rng.randint(0, 4, (ei.shape[1], 1)).astype(
+                np.int64),
+            "y": np.float32(rng.randn()),
+        })
+    vocab = [cycle_graph(k) for k in range(3, 9)]
+    graphs, _ = generate_dataset(graphs, vocab, id_scope="global",
+                                 induced=False)
+    graphs, _eid, d_id, _ed, _dd = encode(graphs, "one_hot_unique")
+    return graphs, d_id
+
 
 def main():
     import jax
 
-    from __graft_entry__ import _example_setup
-    from gsn_tpu.graphs.batching import iterate_batches
-    from gsn_tpu.nn.models import build_model
+    from gsn_tpu.config import GSNConfig
+    from gsn_tpu.graphs.batching import iterate_batches, tight_epoch_caps
     from gsn_tpu.train.loop import Trainer, TrainerConfig
 
-    graphs, cfg = _example_setup(d=128, num_layers=4)
-    # replicate graphs to a realistic batch: 128 graphs/batch (ZINC cfg)
-    graphs = graphs * 8
-    tcfg = TrainerConfig(lr=1e-3, batch_size=128, scheduler="None",
-                         loss_fn="L1Loss", prediction_fn="L1Loss",
-                         shuffle=False)
+    graphs, d_id = make_zinc_like(BATCH_GRAPHS)
+    cfg = GSNConfig(
+        model_name="GSN_edge_sparse", num_layers=4, d_out=128,
+        out_features=1, msg_kind="general", id_scope="global",
+        id_embedding="one_hot_encoder", input_node_encoder="embedding",
+        edge_encoder="embedding", readout="sum",
+        in_features=1, d_in_node_encoder=[28], d_in_edge_encoder=[4],
+        d_in_id=d_id)
+    tcfg = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
+                         scheduler="None", loss_fn="L1Loss",
+                         prediction_fn="L1Loss", shuffle=False)
     trainer = Trainer(cfg, tcfg, graphs)
-    batches = list(iterate_batches(graphs, tcfg.batch_size,
-                                   caps=trainer.caps, y_shape=(),
-                                   y_dtype=np.float32))
-    data = batches[0]
+    caps = tight_epoch_caps(np.arange(len(graphs)), graphs, BATCH_GRAPHS)
+    data = next(iterate_batches(graphs, BATCH_GRAPHS, caps=caps,
+                                y_shape=(), y_dtype=np.float32))
     state = trainer.init_state(data, seed=0)
     key = jax.random.PRNGKey(0)
 
@@ -41,14 +80,13 @@ def main():
     state, _ = trainer._jit_train_step(state, data, 1e-3, key)
     jax.block_until_ready(state.params)
 
-    iters = 50
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(ITERS):
         state, loss = trainer._jit_train_step(state, data, 1e-3, key)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    edges_per_s = real_edges * iters / dt
+    edges_per_s = real_edges * ITERS / dt
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),

@@ -37,9 +37,78 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gsn_tpu.ops.norm import MaskedBatchNorm
 from gsn_tpu.ops.segment import masked_segment_mean, masked_segment_sum
 from .embedding import CentralEncoder
-from .mlp import MLP
+from .mlp import MLP, choose_activation
+
+
+class EdgeMessageMLP(nn.Module):
+    """Message MLP whose *first* dense layer is evaluated at node level.
+
+    ``MLP(cat(x_i, x_j, id_i, id_j, [e]))``'s first layer is a linear map
+    of a concatenation, i.e. a sum of per-part matmuls.  Node-level parts
+    (x, global-scope ids) can be projected once per *node* and gathered
+    per edge — with E ~= 2N on molecular graphs this halves the dominant
+    first-layer FLOPs and shrinks the HBM gather traffic from d_in-wide
+    to d_hidden-wide rows.  Edge-level parts (local-scope ids, edge
+    features) are projected on edges as usual.  Numerics are identical to
+    the concatenated form up to float associativity.
+    """
+
+    d_out: int
+    d_hidden: Sequence[int]
+    activation: str = "elu"
+    batch_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, node_parts, edge_parts, recv, send,
+                 edge_mask=None, train: bool = False):
+        """node_parts: list of (array [N, d], gather_mode) where
+        gather_mode is 'recv', 'send', or 'both' (project once, gather at
+        both endpoints — used for x when it appears as x_i and x_j).
+        edge_parts: list of [E, d] arrays."""
+        widths = list(self.d_hidden) + [self.d_out]
+        d1 = widths[0]
+        act = choose_activation(self.activation)
+
+        h = None
+        li = 0
+        for arr, mode in node_parts:
+            if mode == "both":
+                pi = nn.Dense(d1, use_bias=False, name=f"dense_0_p{li}")(arr)
+                pj = nn.Dense(d1, use_bias=False,
+                              name=f"dense_0_p{li + 1}")(arr)
+                contrib = pi[recv] + pj[send]
+                li += 2
+            else:
+                p = nn.Dense(d1, use_bias=False, name=f"dense_0_p{li}")(arr)
+                contrib = p[recv if mode == "recv" else send]
+                li += 1
+            h = contrib if h is None else h + contrib
+        for arr in edge_parts:
+            p = nn.Dense(d1, use_bias=False, name=f"dense_0_p{li}")(arr)
+            h = p if h is None else h + p
+            li += 1
+        bias = self.param("dense_0_bias", nn.initializers.zeros, (d1,))
+        h = h + bias
+
+        if len(widths) == 1:
+            return h
+        if self.batch_norm:
+            h = MaskedBatchNorm(name="bn_0", axis_name=self.axis_name)(
+                h, edge_mask, use_running_average=not train)
+        h = act(h)
+        for i, d in enumerate(widths[1:], start=1):
+            h = nn.Dense(d, name=f"dense_{i}")(h)
+            if i < len(widths) - 1:
+                if self.batch_norm:
+                    h = MaskedBatchNorm(
+                        name=f"bn_{i}", axis_name=self.axis_name)(
+                            h, edge_mask, use_running_average=not train)
+                h = act(h)
+        return h
 
 
 class GSNLayer(nn.Module):
@@ -98,16 +167,21 @@ class GSNLayer(nn.Module):
 
         # ---- per-kind message / self-message -----------------------------
         if self.msg_kind == "general":
-            parts = [x_i, x_j]
+            node_parts = [(x, "both")]
+            edge_parts = []
             if self.use_ids:
-                parts += ([ids_edge] if self.id_scope == "local"
-                          else [ids_i, ids_j])
+                if self.id_scope == "local":
+                    edge_parts.append(ids_edge)
+                else:
+                    node_parts.append((identifiers.astype(jnp.float32),
+                                       "both"))
             if self.use_edge_features:
-                parts.append(ef)
-            msgs = MLP(self.d_msg if self.d_msg is not None else x.shape[-1],
-                       tuple(self.d_h), self.activation_mlp, self.bn_mlp,
-                       axis_name=self.axis_name, name="msg_fn")(
-                           jnp.concatenate(parts, -1), edge_mask, train)
+                edge_parts.append(ef)
+            msgs = EdgeMessageMLP(
+                self.d_msg if self.d_msg is not None else x.shape[-1],
+                tuple(self.d_h), self.activation_mlp, self.bn_mlp,
+                axis_name=self.axis_name, name="msg_fn")(
+                    node_parts, edge_parts, recv, send, edge_mask, train)
             agg = self._aggregate(msgs, recv, n_nodes, edge_mask)
             update_in = jnp.concatenate([x, agg], -1)
 

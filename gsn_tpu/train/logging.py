@@ -1,0 +1,64 @@
+"""Experiment logging: stdout + JSONL run records, wandb-optional.
+
+The reference logs realtime per-epoch metrics and run summaries to
+wandb (``main.py:61-64,400-459``; ``train_test_funcs.py:150-159``).
+wandb isn't available in this image, so the default sink is a JSONL file
+per run (one line per logged step plus a final summary line) with the
+same keys; a wandb sink activates automatically when the package is
+importable and ``use_wandb=True``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class RunLogger:
+    def __init__(self, run_dir: Optional[str] = None,
+                 use_wandb: bool = False, project: str = "gsn_tpu",
+                 config: Optional[Dict[str, Any]] = None):
+        self.run_dir = run_dir
+        self._fh = None
+        if run_dir:
+            os.makedirs(run_dir, exist_ok=True)
+            self._fh = open(os.path.join(run_dir, "log.jsonl"), "a")
+            if config is not None:
+                with open(os.path.join(run_dir, "params.json"), "w") as f:
+                    json.dump(config, f, indent=2, default=str)
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(project=project, config=config)
+            except ImportError:
+                pass
+        self.summary: Dict[str, Any] = {}
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        rec = {"ts": time.time(), **metrics}
+        if step is not None:
+            rec["step"] = step
+        if self._fh:
+            self._fh.write(json.dumps(rec, default=float) + "\n")
+            self._fh.flush()
+        if self._wandb:
+            self._wandb.log(metrics, step=step)
+
+    def set_summary(self, **kv):
+        self.summary.update(kv)
+        if self._wandb:
+            for k, v in kv.items():
+                self._wandb.run.summary[k] = v
+
+    def close(self):
+        if self._fh:
+            self._fh.write(json.dumps(
+                {"summary": self.summary}, default=float) + "\n")
+            self._fh.close()
+            self._fh = None
+        if self._wandb:
+            self._wandb.finish()

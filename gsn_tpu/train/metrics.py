@@ -109,8 +109,8 @@ def roc_auc_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
     matches ogb's rocauc eval for molhiv (single task)."""
     y_true = np.asarray(y_true, dtype=np.float64)
     y_score = np.asarray(y_score, dtype=np.float64)
-    if y_true.ndim == 1:
-        y_true, y_score = y_true[:, None], y_score[:, None]
+    y_true = y_true.reshape(len(y_true), -1)
+    y_score = y_score.reshape(len(y_score), -1)
     aucs = []
     for t in range(y_true.shape[1]):
         yt, ys = y_true[:, t], y_score[:, t]
@@ -144,8 +144,8 @@ def average_precision_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
     """AP, averaged over labeled tasks (ogb 'ap' metric, molpcba)."""
     y_true = np.asarray(y_true, dtype=np.float64)
     y_score = np.asarray(y_score, dtype=np.float64)
-    if y_true.ndim == 1:
-        y_true, y_score = y_true[:, None], y_score[:, None]
+    y_true = y_true.reshape(len(y_true), -1)
+    y_score = y_score.reshape(len(y_score), -1)
     aps = []
     for t in range(y_true.shape[1]):
         yt, ys = y_true[:, t], y_score[:, t]

@@ -1,0 +1,82 @@
+"""CLI driver roundtrip on a synthetic TU dataset: train mode writes a
+checkpoint + aggregates folds; test mode evaluates the checkpoint."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gsn_tpu.cli import build_parser, main
+
+
+def make_tu_dataset(root, n_graphs=24):
+    """Synthetic TU text dataset: triangles (label 0) vs squares (1)."""
+    rng = np.random.RandomState(0)
+    path = os.path.join(root, "social", "TOY")
+    os.makedirs(path)
+    lines = [str(n_graphs)]
+    labels = []
+    for i in range(n_graphs):
+        label = i % 2
+        labels.append(label)
+        cyc = 3 if label == 0 else 4
+        tail = rng.randint(1, 3)
+        n = cyc + tail
+        adj = {j: [] for j in range(n)}
+        for j in range(cyc):
+            adj[j].append((j + 1) % cyc)
+            adj[(j + 1) % cyc].append(j)
+        prev = 0
+        for t in range(tail):
+            v = cyc + t
+            adj[prev].append(v)
+            adj[v].append(prev)
+            prev = v
+        lines.append(f"{n} {label}")
+        for j in range(n):
+            nbrs = adj[j]
+            lines.append(f"0 {len(nbrs)} " + " ".join(map(str, nbrs)))
+    with open(os.path.join(path, "TOY.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    # 2-fold split files (train/test only)
+    idx = np.arange(n_graphs)
+    os.makedirs(os.path.join(path, "10fold_idx"))
+    for fold in [0]:
+        test = idx[fold::3]
+        train = np.setdiff1d(idx, test)
+        np.savetxt(os.path.join(path, "10fold_idx",
+                                f"train_idx-{fold + 1}.txt"), train,
+                   fmt="%d")
+        np.savetxt(os.path.join(path, "10fold_idx",
+                                f"test_idx-{fold + 1}.txt"), test,
+                   fmt="%d")
+    return path
+
+
+def run_cli(extra, tmp_path):
+    argv = [
+        "--dataset", "social", "--dataset_name", "TOY",
+        "--root_folder", str(tmp_path), "--cache_folder",
+        str(tmp_path / "cache"),
+        "--id_type", "cycle_graph", "--k", "4", "--id_scope", "global",
+        "--model_name", "GSN_sparse", "--num_layers", "2", "--d_out", "16",
+        "--msg_kind", "general", "--batch_size", "8",
+        "--fold_idx", "0", "--num_epochs", "8", "--eval_frequency", "7",
+        "--lr", "0.01", "--scheduler", "None",
+    ] + extra
+    return main(vars(build_parser().parse_args(argv)))
+
+
+def test_cli_train_then_test_mode(tmp_path):
+    make_tu_dataset(str(tmp_path))
+    results = run_cli(["--mode", "train"], tmp_path)
+    assert results[0]["test_accs"][-1] >= 0.5
+
+    ckpt = (tmp_path / "cache" / "results" / "temp" / "0" / "GSN_sparse"
+            / "checkpoints" / "checkpoint.pkl")
+    assert ckpt.exists()
+
+    out = run_cli(["--mode", "test"], tmp_path)
+    assert out[0]["test_acc"] == pytest.approx(
+        results[0]["test_accs"][-1], abs=1e-6)
