@@ -66,6 +66,7 @@ def iterate_batches(
     y_shape: tuple = (),
     y_dtype=np.int64,
     drop_last: bool = False,
+    mxu_layout: Optional[Dict] = None,
 ) -> Iterator[GraphBatch]:
     order = np.arange(len(graphs))
     if shuffle:
@@ -78,7 +79,8 @@ def iterate_batches(
         if drop_last and len(idx) < batch_size:
             break
         yield batch_graphs([graphs[j] for j in idx], node_cap, edge_cap,
-                           graph_cap, y_shape=y_shape, y_dtype=y_dtype)
+                           graph_cap, y_shape=y_shape, y_dtype=y_dtype,
+                           mxu_layout=mxu_layout)
 
 
 def infer_y_spec(graphs: List[Dict]) -> Tuple[tuple, type]:

@@ -45,6 +45,11 @@ class GraphBatch:
     # DGN vector fields (directional_gsn): node- and edge-level 'eig'
     node_eig: Optional[jnp.ndarray] = None      # [N, Dv]
     edge_eig: Optional[jnp.ndarray] = None      # [E, Dv]
+    # MXU segment-sum layout (edges pre-arranged in block-aligned order;
+    # see gsn_tpu.ops.pallas.segment_mxu): recv-local per slot and the
+    # stacked [2, C] chunk_nb/chunk_first arrays
+    seg_recv_local: Optional[jnp.ndarray] = None  # [E] int32, -1 padding
+    seg_chunks: Optional[jnp.ndarray] = None      # [2, C] int32
 
     @property
     def num_node_slots(self) -> int:
@@ -79,6 +84,7 @@ def batch_graphs(
     graph_cap: Optional[int] = None,
     y_shape: tuple = (),
     y_dtype=np.int64,
+    mxu_layout: Optional[Dict[str, Any]] = None,
 ) -> GraphBatch:
     """Disjoint-union a list of numpy graph dicts into one padded batch.
 
@@ -164,6 +170,16 @@ def batch_graphs(
         n_off += n
         e_off += e
 
+    seg_recv_local = seg_chunks = None
+    if mxu_layout is not None:
+        edge_ids = identifiers if (has_ids and id_on_edges) else None
+        (edge_index, edge_mask, edge_features, edge_ids,
+         seg_recv_local, seg_chunks) = _apply_mxu_layout(
+            edge_index, edge_mask, edge_features, edge_ids,
+            node_cap, **mxu_layout)
+        if has_ids and id_on_edges:
+            identifiers = edge_ids
+
     return GraphBatch(
         x=jnp.asarray(x),
         edge_index=jnp.asarray(edge_index),
@@ -177,4 +193,61 @@ def batch_graphs(
         edge_features=jnp.asarray(edge_features) if has_ef else None,
         node_eig=jnp.asarray(node_eig) if has_neig else None,
         edge_eig=jnp.asarray(edge_eig) if has_eeig else None,
+        seg_recv_local=(jnp.asarray(seg_recv_local)
+                        if seg_recv_local is not None else None),
+        seg_chunks=(jnp.asarray(seg_chunks)
+                    if seg_chunks is not None else None),
     )
+
+
+def _apply_mxu_layout(edge_index, edge_mask, edge_features, edge_ids,
+                      node_cap, flow="source_to_target",
+                      block_n=256, block_e=256,
+                      num_chunks=None):
+    """Re-emit per-edge arrays in the block-aligned order required by the
+    Pallas MXU segment-sum (ops/pallas/segment_mxu.py): sort real edges
+    by receiver, insert per-node-block padding, static chunk count."""
+    from gsn_tpu.ops.pallas.segment_mxu import (build_block_aligned_layout,
+                                                static_num_chunks)
+
+    select = 0 if flow == "target_to_source" else 1
+    recv = edge_index[select].astype(np.int64)
+    real = np.nonzero(edge_mask)[0]
+    order = real[np.argsort(recv[real], kind="stable")]
+
+    # re-pack: sorted real edges first (the layout builder requires it)
+    E = edge_index.shape[1]
+    sort_perm = np.concatenate(
+        [order, np.setdiff1d(np.arange(E), real)])
+    edge_index = edge_index[:, sort_perm]
+    edge_mask = edge_mask[sort_perm]
+    if edge_features is not None:
+        edge_features = edge_features[sort_perm]
+    if edge_ids is not None:
+        edge_ids = edge_ids[sort_perm]
+
+    padded_nodes = -(-node_cap // block_n) * block_n
+    if num_chunks is None:
+        num_chunks = static_num_chunks(E, padded_nodes, block_n, block_e)
+    layout = build_block_aligned_layout(
+        edge_index[select], padded_nodes, block_n, block_e,
+        edge_mask=edge_mask, num_chunks=num_chunks)
+
+    perm = layout["perm"]
+    valid = layout["recv_local"] >= 0
+    new_ei = np.zeros((2, len(perm)), edge_index.dtype)
+    new_ei[:, valid] = edge_index[:, perm[valid]]
+    new_mask = valid
+    new_ef = None
+    if edge_features is not None:
+        new_ef = np.zeros((len(perm),) + edge_features.shape[1:],
+                          edge_features.dtype)
+        new_ef[valid] = edge_features[perm[valid]]
+    new_ids = None
+    if edge_ids is not None:
+        new_ids = np.zeros((len(perm),) + edge_ids.shape[1:],
+                           edge_ids.dtype)
+        new_ids[valid] = edge_ids[perm[valid]]
+    seg_chunks = np.stack([layout["chunk_nb"], layout["chunk_first"]])
+    return (new_ei, new_mask, new_ef, new_ids,
+            layout["recv_local"], seg_chunks)

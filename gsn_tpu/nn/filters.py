@@ -143,6 +143,7 @@ class GSNLayer(nn.Module):
         node_mask: Optional[jnp.ndarray] = None,
         edge_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
+        seg: Optional[tuple] = None,   # (seg_recv_local, seg_chunks)
     ) -> jnp.ndarray:
         if self.degree_as_tag:
             deg = degrees if degrees.ndim > 1 else degrees[:, None]
@@ -182,7 +183,7 @@ class GSNLayer(nn.Module):
                 tuple(self.d_h), self.activation_mlp, self.bn_mlp,
                 axis_name=self.axis_name, name="msg_fn")(
                     node_parts, edge_parts, recv, send, edge_mask, train)
-            agg = self._aggregate(msgs, recv, n_nodes, edge_mask)
+            agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
             update_in = jnp.concatenate([x, agg], -1)
 
         elif self.msg_kind == "gin":
@@ -209,7 +210,7 @@ class GSNLayer(nn.Module):
                 msg_parts.append(ef)
             self_msg = jnp.concatenate(self_parts, -1)
             msgs = jnp.concatenate(msg_parts, -1)
-            agg = self._aggregate(msgs, recv, n_nodes, edge_mask)
+            agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
             update_in = (1.0 + self._eps()) * self_msg + agg
 
         elif self.msg_kind == "ogb":
@@ -220,7 +221,7 @@ class GSNLayer(nn.Module):
             if self.use_edge_features:
                 m = m + ef
             msgs = nn.relu(m)
-            agg = self._aggregate(msgs, recv, n_nodes, edge_mask)
+            agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
             self_msg = x
             if self.use_ids and self.id_scope == "global":
                 self_msg = x + identifiers.astype(jnp.float32)
@@ -238,7 +239,24 @@ class GSNLayer(nn.Module):
             return self.param("eps", nn.initializers.constant(self.eps), ())
         return self.eps
 
-    def _aggregate(self, msgs, recv, n_nodes, edge_mask):
+    def _aggregate(self, msgs, recv, n_nodes, edge_mask, seg=None):
+        if seg is not None and self.aggr == "add":
+            # MXU Pallas path: edges are pre-arranged block-aligned by
+            # the batcher (ops/pallas/segment_mxu.py); padding slots
+            # carry recv_local == -1 so no mask multiply is needed
+            import jax as _jax
+
+            from gsn_tpu.ops.pallas.segment_mxu import (
+                DEFAULT_BLOCK_N, mxu_segment_sum_aligned)
+            recv_local, chunks = seg
+            block_n = DEFAULT_BLOCK_N
+            block_e = recv_local.shape[0] // chunks.shape[1]
+            padded = -(-n_nodes // block_n) * block_n
+            interpret = _jax.default_backend() == "cpu"
+            out = mxu_segment_sum_aligned(
+                msgs, recv_local, chunks, padded, block_n, block_e,
+                interpret)
+            return out[:n_nodes]
         if self.aggr == "add":
             return masked_segment_sum(msgs, recv, n_nodes, edge_mask)
         if self.aggr == "mean":

@@ -119,7 +119,9 @@ class GNNSubstructures(nn.Module):
                 edge_embedding_kind=c.edge_encoder,
                 extend_dims=c.extend_dims, axis_name=c.bn_axis_name,
                 name=f"conv_{i}")(
-                    x, data.edge_index, ids_i, degrees, ef_i, nm, em, train)
+                    x, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
+                    seg=(None if data.seg_recv_local is None
+                         else (data.seg_recv_local, data.seg_chunks)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",
@@ -229,7 +231,9 @@ class GNN_OGB(nn.Module):
                 edge_embedding_kind=c.edge_encoder,
                 extend_dims=c.extend_dims, axis_name=c.bn_axis_name,
                 name=f"conv_{i}")(
-                    h, data.edge_index, ids_i, degrees, ef_i, nm, em, train)
+                    h, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
+                    seg=(None if data.seg_recv_local is None
+                         else (data.seg_recv_local, data.seg_chunks)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",

@@ -259,3 +259,39 @@ def segment_sum_via_mxu(msgs, layout: Dict[str, np.ndarray],
         jnp.asarray(layout["recv_local"]), cnf, num_nodes,
         layout["block_n"], layout["block_e"], interpret)
     return out[:num_nodes]
+
+
+# ---------------------------------------------------------------------------
+# pre-aligned variant: the batcher emits edges already in layout order,
+# so there is no runtime permutation at all (identity perm)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def mxu_segment_sum_aligned(msgs_layout, recv_local, chunk_nb_first,
+                            num_nodes: int,
+                            block_n: int = DEFAULT_BLOCK_N,
+                            block_e: int = DEFAULT_BLOCK_E,
+                            interpret: bool = False):
+    """Sorted segment-sum for edge arrays already in block-aligned layout
+    (see ``GraphBatch`` mxu layout).  msgs_layout: [C*Be, d]."""
+    return _call_fwd(msgs_layout, recv_local, chunk_nb_first[0],
+                     chunk_nb_first[1], num_nodes, block_n, block_e,
+                     interpret)
+
+
+def _mxu_aligned_fwd(msgs_layout, recv_local, chunk_nb_first,
+                     num_nodes, block_n, block_e, interpret):
+    out = mxu_segment_sum_aligned(msgs_layout, recv_local, chunk_nb_first,
+                                  num_nodes, block_n, block_e, interpret)
+    return out, (recv_local, chunk_nb_first)
+
+
+def _mxu_aligned_bwd(num_nodes, block_n, block_e, interpret, res, g):
+    recv_local, chunk_nb_first = res
+    dmsg = _call_bwd(g.astype(jnp.float32), recv_local,
+                     chunk_nb_first[0], chunk_nb_first[1],
+                     block_n, block_e, interpret)
+    return (dmsg, None, None)
+
+
+mxu_segment_sum_aligned.defvjp(_mxu_aligned_fwd, _mxu_aligned_bwd)

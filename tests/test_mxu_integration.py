@@ -1,0 +1,107 @@
+"""End-to-end equivalence of the MXU segment-sum path: the same model
+applied to an mxu-layout batch and a plain batch must produce identical
+node/graph outputs (edge order differs, node-level results must not)."""
+
+import jax
+import numpy as np
+import pytest
+
+from gsn_tpu.config import GSNConfig
+from gsn_tpu.data.encoding import encode
+from gsn_tpu.data.pipeline import generate_dataset
+from gsn_tpu.graphs.batching import iterate_batches
+from gsn_tpu.graphs.patterns import cycle_graph
+from gsn_tpu.nn.models import build_model
+
+from test_train import make_synthetic_dataset
+
+MXU = {"flow": "source_to_target", "block_n": 256, "block_e": 256}
+
+
+@pytest.fixture(scope="module")
+def prepared():
+    graphs = make_synthetic_dataset(n_per_class=12)
+    graphs, _ = generate_dataset(graphs, [cycle_graph(3), cycle_graph(4)],
+                                 id_scope="global")
+    graphs, _eid, d_id, _ed, _dd = encode(graphs, "one_hot_unique")
+    return graphs, d_id
+
+
+@pytest.mark.parametrize("msg_kind,id_scope", [
+    ("general", "global"), ("gin", "global"), ("ogb", "global")])
+def test_mxu_path_matches_plain(prepared, msg_kind, id_scope):
+    graphs, d_id = prepared
+    cfg = GSNConfig(
+        model_name="GSN_sparse", num_layers=2, d_out=16, out_features=2,
+        msg_kind=msg_kind, id_scope=id_scope, bn=True,
+        in_features=1, d_in_id=d_id).finalize()
+    model = build_model(cfg)
+
+    caps = (256, 512, 24)
+    plain = next(iterate_batches(graphs, 24, caps=caps))
+    mxu = next(iterate_batches(graphs, 24, caps=caps, mxu_layout=MXU))
+    assert mxu.seg_recv_local is not None
+
+    variables = model.init(jax.random.PRNGKey(0), plain, train=False)
+    out_plain = np.asarray(model.apply(variables, plain, train=False))
+    out_mxu = np.asarray(model.apply(variables, mxu, train=False))
+    np.testing.assert_allclose(out_mxu, out_plain, rtol=2e-4, atol=2e-5)
+
+
+def test_mxu_path_gradients_match(prepared):
+    graphs, d_id = prepared
+    cfg = GSNConfig(
+        model_name="GSN_sparse", num_layers=2, d_out=16, out_features=2,
+        msg_kind="general", id_scope="global", bn=True,
+        in_features=1, d_in_id=d_id).finalize()
+    model = build_model(cfg)
+
+    caps = (256, 512, 24)
+    plain = next(iterate_batches(graphs, 24, caps=caps))
+    mxu = next(iterate_batches(graphs, 24, caps=caps, mxu_layout=MXU))
+    variables = model.init(jax.random.PRNGKey(0), plain, train=False)
+
+    def loss(params, data):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            data, train=True, mutable=["batch_stats"])
+        return ((out ** 2) * data.graph_mask[:, None]).sum()
+
+    g_plain = jax.grad(loss)(variables["params"], plain)
+    g_mxu = jax.grad(loss)(variables["params"], mxu)
+    # edge reordering changes float association inside BN statistics;
+    # tolerance is absolute against the overall gradient scale
+    scale = max(float(np.max(np.abs(np.asarray(x))))
+                for x in jax.tree_util.tree_leaves(g_plain))
+    for a, b in zip(jax.tree_util.tree_leaves(g_mxu),
+                    jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4 * scale)
+
+
+def test_mxu_edge_scope_ids_and_features(prepared):
+    """Edge-scope identifiers + edge features must be re-laid
+    consistently with the edge permutation."""
+    graphs0 = make_synthetic_dataset(n_per_class=8)
+    rng = np.random.RandomState(0)
+    for g in graphs0:
+        e = g["edge_index"].shape[1]
+        g["edge_features"] = rng.randint(0, 3, (e, 1)).astype(np.int64)
+    graphs0, _ = generate_dataset(graphs0, [cycle_graph(3)],
+                                  id_scope="local")
+    graphs0, _eid, d_id, _ed, _dd = encode(graphs0, "one_hot_unique")
+
+    cfg = GSNConfig(
+        model_name="GSN_edge_sparse", num_layers=1, d_out=16,
+        out_features=2, msg_kind="general", id_scope="local",
+        edge_encoder="one_hot_encoder", d_in_edge_encoder=[3],
+        in_edge_features=1, in_features=1, d_in_id=d_id).finalize()
+    model = build_model(cfg)
+
+    caps = (256, 512, 16)
+    plain = next(iterate_batches(graphs0, 16, caps=caps))
+    mxu = next(iterate_batches(graphs0, 16, caps=caps, mxu_layout=MXU))
+    variables = model.init(jax.random.PRNGKey(0), plain, train=False)
+    out_plain = np.asarray(model.apply(variables, plain, train=False))
+    out_mxu = np.asarray(model.apply(variables, mxu, train=False))
+    np.testing.assert_allclose(out_mxu, out_plain, rtol=2e-4, atol=2e-5)
