@@ -50,6 +50,8 @@ class GraphBatch:
     # stacked [2, C] chunk_nb/chunk_first arrays
     seg_recv_local: Optional[jnp.ndarray] = None  # [E] int32, -1 padding
     seg_chunks: Optional[jnp.ndarray] = None      # [2, C] int32
+    seg_block_n: Optional[int] = struct.field(pytree_node=False,
+                                              default=None)
 
     @property
     def num_node_slots(self) -> int:
@@ -197,6 +199,8 @@ def batch_graphs(
                         if seg_recv_local is not None else None),
         seg_chunks=(jnp.asarray(seg_chunks)
                     if seg_chunks is not None else None),
+        seg_block_n=(mxu_layout.get("block_n", 256)
+                     if mxu_layout is not None else None),
     )
 
 

@@ -246,10 +246,9 @@ class GSNLayer(nn.Module):
             # carry recv_local == -1 so no mask multiply is needed
             import jax as _jax
 
-            from gsn_tpu.ops.pallas.segment_mxu import (
-                DEFAULT_BLOCK_N, mxu_segment_sum_aligned)
-            recv_local, chunks = seg
-            block_n = DEFAULT_BLOCK_N
+            from gsn_tpu.ops.pallas.segment_mxu import \
+                mxu_segment_sum_aligned
+            recv_local, chunks, block_n = seg
             block_e = recv_local.shape[0] // chunks.shape[1]
             padded = -(-n_nodes // block_n) * block_n
             interpret = _jax.default_backend() == "cpu"

@@ -121,7 +121,8 @@ class GNNSubstructures(nn.Module):
                 name=f"conv_{i}")(
                     x, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None
-                         else (data.seg_recv_local, data.seg_chunks)))
+                         else (data.seg_recv_local, data.seg_chunks,
+                               data.seg_block_n)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",
@@ -233,7 +234,8 @@ class GNN_OGB(nn.Module):
                 name=f"conv_{i}")(
                     h, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None
-                         else (data.seg_recv_local, data.seg_chunks)))
+                         else (data.seg_recv_local, data.seg_chunks,
+                               data.seg_block_n)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",

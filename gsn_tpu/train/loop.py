@@ -54,6 +54,7 @@ class TrainerConfig:
     shuffle: bool = True
     caps_mode: str = "worst"   # 'worst' = one shape forever; 'tight' =
     #                            per-epoch bucketed caps (skewed datasets)
+    use_mxu_segment_sum: bool = False  # Pallas MXU aggregation layout
 
 
 class Trainer:
@@ -75,6 +76,11 @@ class Trainer:
         self.caps = (epoch_caps(graphs_train, tcfg.batch_size)
                      if tcfg.caps_mode == "worst" else None)
         self.y_shape, self.y_dtype = infer_y_spec(graphs_train)
+        self.mxu_layout = ({"flow": self.model_cfg.flow
+                            if hasattr(self.model_cfg, "flow")
+                            else "source_to_target",
+                            "block_n": 256, "block_e": 256}
+                           if tcfg.use_mxu_segment_sum else None)
         self.rng = np.random.RandomState(tcfg.seed)
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_eval_step = jax.jit(self._eval_step)
@@ -143,7 +149,8 @@ class Trainer:
         it = iterate_batches(graphs, self.tcfg.batch_size,
                              shuffle=self.tcfg.shuffle, rng=self.rng,
                              caps=self.caps, y_shape=self.y_shape,
-                             y_dtype=self.y_dtype)
+                             y_dtype=self.y_dtype,
+                             mxu_layout=self.mxu_layout)
         batches = list(it)
         n_iters = self.tcfg.num_iters or len(batches)
         losses = []
@@ -170,10 +177,12 @@ class Trainer:
         total_loss = total_acc = 0.0
         total_n = 0
         y_true_all, y_pred_all = [], []
-        for data in iterate_batches(graphs, self.tcfg.batch_size,
-                                    shuffle=False, caps=self.caps,
-                                    y_shape=self.y_shape,
-                                    y_dtype=self.y_dtype):
+        for it_idx, data in enumerate(iterate_batches(
+                graphs, self.tcfg.batch_size, shuffle=False,
+                caps=self.caps, y_shape=self.y_shape,
+                y_dtype=self.y_dtype, mxu_layout=self.mxu_layout)):
+            if n_iters is not None and it_idx >= n_iters:
+                break
             y_hat, loss, num, acc_sum = self._jit_eval_step(state, data)
             n = int(num)
             total_loss += float(loss) * n
