@@ -1,5 +1,6 @@
 from .orbits import (PatternInfo, automorphism_orbits,
-                     induced_edge_automorphism_orbits)
+                     induced_edge_automorphism_orbits,
+                     line_graph_edge_automorphism_orbits)
 from .counts import (count_identifiers, subgraph_isomorphism_edge_counts,
                      subgraph_isomorphism_vertex_counts)
 from .vf2 import (build_adjacency, count_automorphisms,
@@ -9,6 +10,7 @@ __all__ = [
     "PatternInfo",
     "automorphism_orbits",
     "induced_edge_automorphism_orbits",
+    "line_graph_edge_automorphism_orbits",
     "count_identifiers",
     "subgraph_isomorphism_edge_counts",
     "subgraph_isomorphism_vertex_counts",

@@ -126,3 +126,53 @@ def induced_edge_automorphism_orbits(edge_list: Sequence[Tuple[int, int]],
     info.edge_orbit_membership = membership
     info.edge_orbit_partition = partition
     return info
+
+
+def line_graph_edge_automorphism_orbits(edge_list: Sequence[Tuple[int, int]],
+                                        directed: bool = False,
+                                        **_kw) -> PatternInfo:
+    """Edge orbits via line-graph vertex automorphisms (the reference's
+    deprecated ``edge_automorphism_orbits``, utils_graph_processing.py:189-251).
+
+    Line-graph orbits can merge edge classes that the induced (vertex-
+    automorphism) partition distinguishes, which is why the reference
+    deprecated it.  Orbit ids are assigned over the sorted undirected
+    edge list in first-occurrence order of the line-graph orbit label
+    (the reference's single-direction indexing breaks for the second
+    direction of each edge; we assign both directions of an undirected
+    edge the same orbit, which is the only consistent reading).
+    """
+    info = automorphism_orbits(edge_list, directed=directed)
+    edges = info.edges                      # canonical undirected, sorted
+    m = len(edges)
+
+    # line graph: vertices = edges, adjacency = shared endpoint
+    lg_edges = []
+    for i in range(m):
+        for j in range(i + 1, m):
+            if set(edges[i]) & set(edges[j]):
+                lg_edges.append((i, j))
+    lg_adj = build_adjacency(m, lg_edges)
+    auts = list(enumerate_subgraph_isomorphisms(lg_adj, m, lg_adj, m,
+                                                False))
+    label = list(range(m))
+    for aut in auts:
+        for original, image in enumerate(aut):
+            label[image] = min(original, label[image])
+    _, contiguous = np.unique(label, return_inverse=True)
+
+    both = sorted([(u, v) for u, v in edges] + [(v, u) for u, v in edges])
+    undirected_of = {e: i for i, e in enumerate(edges)}
+    orbit2ind: Dict[int, int] = {}
+    membership: List[int] = []
+    partition: Dict[int, List[Tuple[int, int]]] = {}
+    for (u, v) in both:
+        lg_orbit = int(contiguous[undirected_of[(min(u, v), max(u, v))]])
+        ind = orbit2ind.setdefault(lg_orbit, len(orbit2ind))
+        membership.append(ind)
+        partition.setdefault(ind, []).append((u, v))
+
+    info.directed_edges = both
+    info.edge_orbit_membership = membership
+    info.edge_orbit_partition = partition
+    return info

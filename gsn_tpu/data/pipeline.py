@@ -25,7 +25,8 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from gsn_tpu.counting import (automorphism_orbits, count_identifiers,
-                              induced_edge_automorphism_orbits)
+                              induced_edge_automorphism_orbits,
+                              line_graph_edge_automorphism_orbits)
 from gsn_tpu.graphs.patterns import resolve_pattern_vocabulary
 from .loaders import load_g6_graphs, load_ogb_data, load_tu_data, load_zinc_data
 
@@ -54,13 +55,18 @@ def remove_self_loops(g: Dict) -> Dict:
 
 
 def build_pattern_infos(edge_lists: Sequence, id_scope: str,
-                        directed_orbits: bool = False):
-    """Orbit info per pattern (reference utils_data_gen.py:31-42)."""
+                        directed_orbits: bool = False,
+                        edge_automorphism: str = "induced"):
+    """Orbit info per pattern (reference utils_data_gen.py:31-42 +
+    utils.py:40-45 automorphism_fn selection)."""
     infos = []
     for el in edge_lists:
         if id_scope == "local":
-            infos.append(induced_edge_automorphism_orbits(
-                el, directed_orbits=directed_orbits))
+            if edge_automorphism == "line_graph":
+                infos.append(line_graph_edge_automorphism_orbits(el))
+            else:
+                infos.append(induced_edge_automorphism_orbits(
+                    el, directed_orbits=directed_orbits))
         else:
             infos.append(automorphism_orbits(el))
     return infos
@@ -89,12 +95,13 @@ def generate_dataset(
     induced: bool = False,
     directed_orbits: bool = False,
     num_processes: int = 1,
+    edge_automorphism: str = "induced",
 ) -> tuple:
     """Attach degrees + identifiers to every graph dict.
 
     Returns (graphs, orbit_partition_sizes)."""
     patterns = build_pattern_infos(pattern_edge_lists, id_scope,
-                                   directed_orbits)
+                                   directed_orbits, edge_automorphism)
     sizes = [p.num_edge_orbits if id_scope == "local" else p.num_orbits
              for p in patterns]
     if num_processes > 1:

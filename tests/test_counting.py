@@ -162,3 +162,18 @@ class TestSRGraphs:
             ei, pat, induced=True, num_nodes=n)
         # λ=5: each edge in 5 triangles; vertex in k*λ/2 = 30 triangles
         np.testing.assert_allclose(counts, 30.0)
+
+
+class TestLineGraphOrbits:
+    def test_line_graph_variant(self):
+        from gsn_tpu.counting import line_graph_edge_automorphism_orbits
+        from gsn_tpu.graphs.patterns import path_graph, cycle_graph, star_graph
+        # P4: outer edges vs middle edge -> 2 orbits (agrees with induced)
+        assert line_graph_edge_automorphism_orbits(
+            path_graph(4)).num_edge_orbits == 2
+        # cycles: single orbit
+        assert line_graph_edge_automorphism_orbits(
+            cycle_graph(6)).num_edge_orbits == 1
+        # star: line graph is complete -> 1 orbit
+        assert line_graph_edge_automorphism_orbits(
+            star_graph(4)).num_edge_orbits == 1
