@@ -70,6 +70,7 @@ class GSNConfig:
     vn_pooling: str = "sum"
     residual: bool = False
     bn_axis_name: Any = None   # set inside shard_map for cross-replica BN
+    compute_dtype: Any = None  # 'bfloat16' halves HBM traffic, 2x MXU
 
     # ---- data-dependent dims (filled by the pipeline)
     in_features: int = 1

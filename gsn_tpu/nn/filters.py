@@ -61,6 +61,7 @@ class EdgeMessageMLP(nn.Module):
     activation: str = "elu"
     batch_norm: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, node_parts, edge_parts, recv, send,
@@ -76,23 +77,30 @@ class EdgeMessageMLP(nn.Module):
         h = None
         li = 0
         for arr, mode in node_parts:
+            if self.dtype is not None:
+                arr = arr.astype(self.dtype)
             if mode == "both":
-                pi = nn.Dense(d1, use_bias=False, name=f"dense_0_p{li}")(arr)
-                pj = nn.Dense(d1, use_bias=False,
+                pi = nn.Dense(d1, use_bias=False, dtype=self.dtype,
+                              name=f"dense_0_p{li}")(arr)
+                pj = nn.Dense(d1, use_bias=False, dtype=self.dtype,
                               name=f"dense_0_p{li + 1}")(arr)
                 contrib = pi[recv] + pj[send]
                 li += 2
             else:
-                p = nn.Dense(d1, use_bias=False, name=f"dense_0_p{li}")(arr)
+                p = nn.Dense(d1, use_bias=False, dtype=self.dtype,
+                             name=f"dense_0_p{li}")(arr)
                 contrib = p[recv if mode == "recv" else send]
                 li += 1
             h = contrib if h is None else h + contrib
         for arr in edge_parts:
-            p = nn.Dense(d1, use_bias=False, name=f"dense_0_p{li}")(arr)
+            if self.dtype is not None:
+                arr = arr.astype(self.dtype)
+            p = nn.Dense(d1, use_bias=False, dtype=self.dtype,
+                         name=f"dense_0_p{li}")(arr)
             h = p if h is None else h + p
             li += 1
         bias = self.param("dense_0_bias", nn.initializers.zeros, (d1,))
-        h = h + bias
+        h = h + bias.astype(h.dtype)
 
         if len(widths) == 1:
             return h
@@ -101,7 +109,7 @@ class EdgeMessageMLP(nn.Module):
                 h, edge_mask, use_running_average=not train)
         h = act(h)
         for i, d in enumerate(widths[1:], start=1):
-            h = nn.Dense(d, name=f"dense_{i}")(h)
+            h = nn.Dense(d, dtype=self.dtype, name=f"dense_{i}")(h)
             if i < len(widths) - 1:
                 if self.batch_norm:
                     h = MaskedBatchNorm(
@@ -131,6 +139,7 @@ class GSNLayer(nn.Module):
     edge_embedding_kind: str = "one_hot_encoder"
     extend_dims: bool = True
     axis_name: str = None
+    compute_dtype: str = None   # 'bfloat16' for reduced-precision matmuls
 
     @nn.compact
     def __call__(
@@ -178,11 +187,14 @@ class GSNLayer(nn.Module):
                                        "both"))
             if self.use_edge_features:
                 edge_parts.append(ef)
+            dt = (jnp.dtype(self.compute_dtype)
+                  if self.compute_dtype else None)
             msgs = EdgeMessageMLP(
                 self.d_msg if self.d_msg is not None else x.shape[-1],
                 tuple(self.d_h), self.activation_mlp, self.bn_mlp,
-                axis_name=self.axis_name, name="msg_fn")(
+                axis_name=self.axis_name, dtype=dt, name="msg_fn")(
                     node_parts, edge_parts, recv, send, edge_mask, train)
+            msgs = msgs.astype(jnp.float32)
             agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
             update_in = jnp.concatenate([x, agg], -1)
 
@@ -230,9 +242,12 @@ class GSNLayer(nn.Module):
         else:
             raise NotImplementedError(f"msg kind {self.msg_kind!r}")
 
-        return MLP(self.d_up, tuple(self.d_h), self.activation_mlp,
-                   self.bn_mlp, axis_name=self.axis_name,
-                   name="update_fn")(update_in, node_mask, train)
+        out = MLP(self.d_up, tuple(self.d_h), self.activation_mlp,
+                  self.bn_mlp, axis_name=self.axis_name,
+                  dtype=(jnp.dtype(self.compute_dtype)
+                         if self.compute_dtype else None),
+                  name="update_fn")(update_in, node_mask, train)
+        return out.astype(jnp.float32)
 
     def _eps(self):
         if self.train_eps:

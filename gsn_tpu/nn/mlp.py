@@ -36,16 +36,18 @@ class MLP(nn.Module):
     activation: str = "elu"
     batch_norm: bool = False
     axis_name: str = None
+    dtype: Optional[jnp.dtype] = None   # compute dtype (e.g. bf16)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
         act = choose_activation(self.activation)
         for i, d in enumerate(self.d_hidden):
-            x = nn.Dense(d, name=f"dense_{i}")(x)
+            x = nn.Dense(d, dtype=self.dtype, name=f"dense_{i}")(x)
             if self.batch_norm:
                 x = MaskedBatchNorm(name=f"bn_{i}",
                                     axis_name=self.axis_name)(
                     x, mask, use_running_average=not train)
             x = act(x)
-        return nn.Dense(self.d_out, name=f"dense_{len(self.d_hidden)}")(x)
+        return nn.Dense(self.d_out, dtype=self.dtype,
+                        name=f"dense_{len(self.d_hidden)}")(x)

@@ -118,6 +118,7 @@ class GNNSubstructures(nn.Module):
                 id_embedding_kind=c.id_embedding,
                 edge_embedding_kind=c.edge_encoder,
                 extend_dims=c.extend_dims, axis_name=c.bn_axis_name,
+                compute_dtype=c.compute_dtype,
                 name=f"conv_{i}")(
                     x, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None
@@ -231,6 +232,7 @@ class GNN_OGB(nn.Module):
                 id_embedding_kind=c.id_embedding,
                 edge_embedding_kind=c.edge_encoder,
                 extend_dims=c.extend_dims, axis_name=c.bn_axis_name,
+                compute_dtype=c.compute_dtype,
                 name=f"conv_{i}")(
                     h, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None

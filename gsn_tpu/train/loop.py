@@ -205,7 +205,8 @@ class Trainer:
             graphs_test: List[Dict],
             graphs_val: Optional[List[Dict]] = None,
             checkpoint_file: Optional[str] = None,
-            log_fn: Optional[Callable] = print):
+            log_fn: Optional[Callable] = print,
+            logger=None):
         """Full training loop (reference train(), train_test_funcs.py:48-174).
 
         Returns (state, history dict of per-eval losses/metrics)."""
@@ -236,6 +237,14 @@ class Trainer:
                     ref = (hist["val_losses"][-1] if graphs_val is not None
                            else test_loss)
                     self.scheduler.step(ref)
+                if logger is not None:
+                    rec = {"train_loss": train_loss, "train_acc": train_acc,
+                           "test_loss": test_loss, "test_acc": test_acc,
+                           "lr": self.scheduler.lr}
+                    if graphs_val is not None:
+                        rec["val_loss"] = hist["val_losses"][-1]
+                        rec["val_acc"] = hist["val_accs"][-1]
+                    logger.log(rec, step=epoch)
                 if log_fn:
                     msg = (f"Epoch: {epoch:03d}, Train: {train_acc:.4f}, "
                            f"Test: {test_acc:.4f}")
