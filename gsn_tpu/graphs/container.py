@@ -49,7 +49,9 @@ class GraphBatch:
     # see gsn_tpu.ops.pallas.segment_mxu): recv-local per slot and the
     # stacked [2, C] chunk_nb/chunk_first arrays
     seg_recv_local: Optional[jnp.ndarray] = None  # [E] int32, -1 padding
-    seg_chunks: Optional[jnp.ndarray] = None      # [2, C] int32
+    seg_chunks: Optional[jnp.ndarray] = None      # [3, C] int32:
+    #                                     (chunk_nb, chunk_first, win_first)
+    seg_send_local: Optional[jnp.ndarray] = None  # [E] int32 window-local
     seg_block_n: Optional[int] = struct.field(pytree_node=False,
                                               default=None)
 
@@ -172,11 +174,11 @@ def batch_graphs(
         n_off += n
         e_off += e
 
-    seg_recv_local = seg_chunks = None
+    seg_recv_local = seg_chunks = seg_send_local = None
     if mxu_layout is not None:
         edge_ids = identifiers if (has_ids and id_on_edges) else None
         (edge_index, edge_mask, edge_features, edge_ids,
-         seg_recv_local, seg_chunks) = _apply_mxu_layout(
+         seg_recv_local, seg_chunks, seg_send_local) = _apply_mxu_layout(
             edge_index, edge_mask, edge_features, edge_ids,
             node_cap, **mxu_layout)
         if has_ids and id_on_edges:
@@ -199,6 +201,8 @@ def batch_graphs(
                         if seg_recv_local is not None else None),
         seg_chunks=(jnp.asarray(seg_chunks)
                     if seg_chunks is not None else None),
+        seg_send_local=(jnp.asarray(seg_send_local)
+                        if seg_send_local is not None else None),
         seg_block_n=(mxu_layout.get("block_n", 256)
                      if mxu_layout is not None else None),
     )
@@ -230,7 +234,8 @@ def _apply_mxu_layout(edge_index, edge_mask, edge_features, edge_ids,
     if edge_ids is not None:
         edge_ids = edge_ids[sort_perm]
 
-    padded_nodes = -(-node_cap // block_n) * block_n
+    # >= 3 blocks so the fused kernel's 3-block sender windows exist
+    padded_nodes = max(-(-node_cap // block_n), 3) * block_n
     if num_chunks is None:
         num_chunks = static_num_chunks(E, padded_nodes, block_n, block_e)
     layout = build_block_aligned_layout(
@@ -252,6 +257,19 @@ def _apply_mxu_layout(edge_index, edge_mask, edge_features, edge_ids,
         new_ids = np.zeros((len(perm),) + edge_ids.shape[1:],
                            edge_ids.dtype)
         new_ids[valid] = edge_ids[perm[valid]]
-    seg_chunks = np.stack([layout["chunk_nb"], layout["chunk_first"]])
+    # sender window metadata for the fused message kernel; None when a
+    # graph exceeds block_n nodes (fused path then falls back)
+    from gsn_tpu.ops.pallas.fused_message import build_window_sends
+    num_blocks = padded_nodes // block_n
+    ws = build_window_sends(edge_index[1 - select], layout["perm"],
+                            layout["recv_local"], layout["chunk_nb"],
+                            block_n, num_blocks)
+    if ws is not None:
+        send_local, win_first = ws
+    else:
+        send_local = None
+        win_first = np.zeros(len(layout["chunk_nb"]), np.int32)
+    seg_chunks = np.stack([layout["chunk_nb"], layout["chunk_first"],
+                           win_first])
     return (new_ei, new_mask, new_ef, new_ids,
-            layout["recv_local"], seg_chunks)
+            layout["recv_local"], seg_chunks, send_local)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -65,16 +66,24 @@ class EdgeMessageMLP(nn.Module):
 
     @nn.compact
     def __call__(self, node_parts, edge_parts, recv, send,
-                 edge_mask=None, train: bool = False):
+                 edge_mask=None, train: bool = False, fused_seg=None):
         """node_parts: list of (array [N, d], gather_mode) where
         gather_mode is 'recv', 'send', or 'both' (project once, gather at
         both endpoints — used for x when it appears as x_i and x_j).
-        edge_parts: list of [E, d] arrays."""
+        edge_parts: list of [E, d] arrays.
+
+        ``fused_seg`` = (recv_local, send_local, chunks_winfirst,
+        block_n, n_nodes): run the Pallas fused gather+act+scatter kernel
+        and return the *aggregated* [N, d_out] (caller skips its own
+        aggregation).  Eligible only for one hidden layer, relu/identity
+        activation, no batch_norm."""
         widths = list(self.d_hidden) + [self.d_out]
         d1 = widths[0]
         act = choose_activation(self.activation)
 
-        h = None
+        # --- first-layer projections at their natural level -----------
+        A = B = None        # node-level recv-side / send-side sums
+        pe = None           # edge-level sum
         li = 0
         for arr, mode in node_parts:
             if self.dtype is not None:
@@ -84,22 +93,67 @@ class EdgeMessageMLP(nn.Module):
                               name=f"dense_0_p{li}")(arr)
                 pj = nn.Dense(d1, use_bias=False, dtype=self.dtype,
                               name=f"dense_0_p{li + 1}")(arr)
-                contrib = pi[recv] + pj[send]
+                A = pi if A is None else A + pi
+                B = pj if B is None else B + pj
                 li += 2
             else:
                 p = nn.Dense(d1, use_bias=False, dtype=self.dtype,
                              name=f"dense_0_p{li}")(arr)
-                contrib = p[recv if mode == "recv" else send]
+                if mode == "recv":
+                    A = p if A is None else A + p
+                else:
+                    B = p if B is None else B + p
                 li += 1
-            h = contrib if h is None else h + contrib
         for arr in edge_parts:
             if self.dtype is not None:
                 arr = arr.astype(self.dtype)
             p = nn.Dense(d1, use_bias=False, dtype=self.dtype,
                          name=f"dense_0_p{li}")(arr)
-            h = p if h is None else h + p
+            pe = p if pe is None else pe + p
             li += 1
         bias = self.param("dense_0_bias", nn.initializers.zeros, (d1,))
+
+        # --- fused Pallas path ----------------------------------------
+        if fused_seg is not None:
+            from gsn_tpu.ops.pallas.fused_message import \
+                fused_edge_message_aggregate
+            recv_local, send_local, cwf, block_n, n_nodes = fused_seg
+            block_e = recv_local.shape[0] // cwf.shape[1]
+            padded = max(-(-n_nodes // block_n), 3) * block_n
+            interpret = jax.default_backend() == "cpu"
+            zero = jnp.zeros((n_nodes, d1), jnp.float32)
+            agg = fused_edge_message_aggregate(
+                (A if A is not None else zero).astype(jnp.float32),
+                (B if B is not None else zero).astype(jnp.float32),
+                pe.astype(jnp.float32) if pe is not None else None,
+                bias.astype(jnp.float32),
+                recv_local, send_local, cwf, padded, block_n, block_e,
+                self.activation, pe is not None, interpret)[:n_nodes]
+            if len(widths) == 1:
+                return agg
+            # second dense commutes with the sum; its per-message bias
+            # contributes in_degree * bias at each node
+            out = nn.Dense(widths[1], use_bias=False, dtype=self.dtype,
+                           name="dense_1")(agg)
+            b2 = self.param("dense_1_bias", nn.initializers.zeros,
+                            (widths[1],))
+            ones = jnp.where(recv_local >= 0, 1.0, 0.0)
+            deg = jax.ops.segment_sum(
+                ones,
+                jnp.maximum(recv_local, 0)
+                + cwf[0][jnp.arange(recv_local.shape[0]) // block_e]
+                * block_n,
+                num_segments=padded)[:n_nodes]
+            return (out + deg[:, None] * b2).astype(jnp.float32)
+
+        # --- standard (per-edge) path ---------------------------------
+        h = None
+        if A is not None:
+            h = A[recv]
+        if B is not None:
+            h = B[send] if h is None else h + B[send]
+        if pe is not None:
+            h = pe if h is None else h + pe
         h = h + bias.astype(h.dtype)
 
         if len(widths) == 1:
@@ -109,8 +163,15 @@ class EdgeMessageMLP(nn.Module):
                 h, edge_mask, use_running_average=not train)
         h = act(h)
         for i, d in enumerate(widths[1:], start=1):
-            h = nn.Dense(d, dtype=self.dtype, name=f"dense_{i}")(h)
-            if i < len(widths) - 1:
+            is_last = i == len(widths) - 1
+            if is_last:
+                h = nn.Dense(d, use_bias=False, dtype=self.dtype,
+                             name=f"dense_{i}")(h)
+                b_last = self.param(f"dense_{i}_bias",
+                                    nn.initializers.zeros, (d,))
+                h = h + b_last.astype(h.dtype)
+            else:
+                h = nn.Dense(d, dtype=self.dtype, name=f"dense_{i}")(h)
                 if self.batch_norm:
                     h = MaskedBatchNorm(
                         name=f"bn_{i}", axis_name=self.axis_name)(
@@ -189,13 +250,26 @@ class GSNLayer(nn.Module):
                 edge_parts.append(ef)
             dt = (jnp.dtype(self.compute_dtype)
                   if self.compute_dtype else None)
-            msgs = EdgeMessageMLP(
+            # fused Pallas path: message MLP + aggregation in one kernel
+            fused_seg = None
+            if (seg is not None and len(seg) == 4 and seg[3] is not None
+                    and self.aggr == "add" and not self.bn_mlp
+                    and len(self.d_h) <= 1
+                    and self.activation_mlp in ("relu", "identity")):
+                recv_local, chunks, block_n, send_local = seg
+                fused_seg = (recv_local, send_local, chunks, block_n,
+                             n_nodes)
+            out_or_msgs = EdgeMessageMLP(
                 self.d_msg if self.d_msg is not None else x.shape[-1],
                 tuple(self.d_h), self.activation_mlp, self.bn_mlp,
                 axis_name=self.axis_name, dtype=dt, name="msg_fn")(
-                    node_parts, edge_parts, recv, send, edge_mask, train)
-            msgs = msgs.astype(jnp.float32)
-            agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
+                    node_parts, edge_parts, recv, send, edge_mask, train,
+                    fused_seg=fused_seg)
+            if fused_seg is not None:
+                agg = out_or_msgs.astype(jnp.float32)
+            else:
+                msgs = out_or_msgs.astype(jnp.float32)
+                agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
             update_in = jnp.concatenate([x, agg], -1)
 
         elif self.msg_kind == "gin":
@@ -263,9 +337,10 @@ class GSNLayer(nn.Module):
 
             from gsn_tpu.ops.pallas.segment_mxu import \
                 mxu_segment_sum_aligned
-            recv_local, chunks, block_n = seg
+            recv_local, chunks, block_n = seg[0], seg[1], seg[2]
             block_e = recv_local.shape[0] // chunks.shape[1]
-            padded = -(-n_nodes // block_n) * block_n
+            # layout guarantees >= 3 node blocks (fused-kernel windows)
+            padded = max(-(-n_nodes // block_n), 3) * block_n
             interpret = _jax.default_backend() == "cpu"
             out = mxu_segment_sum_aligned(
                 msgs, recv_local, chunks, padded, block_n, block_e,

@@ -123,7 +123,7 @@ class GNNSubstructures(nn.Module):
                     x, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None
                          else (data.seg_recv_local, data.seg_chunks,
-                               data.seg_block_n)))
+                               data.seg_block_n, data.seg_send_local)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",
@@ -237,7 +237,7 @@ class GNN_OGB(nn.Module):
                     h, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None
                          else (data.seg_recv_local, data.seg_chunks,
-                               data.seg_block_n)))
+                               data.seg_block_n, data.seg_send_local)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",

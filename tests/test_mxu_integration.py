@@ -105,3 +105,40 @@ def test_mxu_edge_scope_ids_and_features(prepared):
     out_plain = np.asarray(model.apply(variables, plain, train=False))
     out_mxu = np.asarray(model.apply(variables, mxu, train=False))
     np.testing.assert_allclose(out_mxu, out_plain, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_kernel_path_matches_plain(prepared):
+    """bn_mlp=False + one hidden layer + relu triggers the fully-fused
+    Pallas message kernel; outputs must match the plain path."""
+    graphs, d_id = prepared
+    cfg = GSNConfig(
+        model_name="GSN_sparse", num_layers=2, d_out=16, out_features=2,
+        msg_kind="general", id_scope="global", bn=True, bn_mlp=False,
+        activation_mlp="relu", in_features=1, d_in_id=d_id).finalize()
+    model = build_model(cfg)
+
+    caps = (256, 512, 24)
+    plain = next(iterate_batches(graphs, 24, caps=caps))
+    mxu = next(iterate_batches(graphs, 24, caps=caps, mxu_layout=MXU))
+    assert mxu.seg_send_local is not None  # fused eligible
+
+    variables = model.init(jax.random.PRNGKey(0), plain, train=False)
+    out_plain = np.asarray(model.apply(variables, plain, train=False))
+    out_mxu = np.asarray(model.apply(variables, mxu, train=False))
+    np.testing.assert_allclose(out_mxu, out_plain, rtol=2e-4, atol=2e-5)
+
+    # gradients through the fused custom_vjp
+    def loss(params, data):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            data, train=True, mutable=["batch_stats"])
+        return ((out ** 2) * data.graph_mask[:, None]).sum()
+
+    g_plain = jax.grad(loss)(variables["params"], plain)
+    g_mxu = jax.grad(loss)(variables["params"], mxu)
+    scale = max(float(np.max(np.abs(np.asarray(x))))
+                for x in jax.tree_util.tree_leaves(g_plain))
+    for a, b in zip(jax.tree_util.tree_leaves(g_mxu),
+                    jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4 * scale)
