@@ -39,6 +39,7 @@ def build_parser():
     a("--lr_schedule_patience", type=int, default=20)
     a("--min_lr", type=float, default=1e-4)
     a("--weight_decay", type=float, default=3e-6)
+    a("--max_time", type=float, default=48.0, help="hours")
     a("--L", type=int, default=4)
     a("--hidden_dim", type=int, default=70)
     a("--out_dim", type=int, default=70)
@@ -146,6 +147,8 @@ def main(args: Dict):
                                    y_dtype=trainer.y_dtype))
     state = trainer.init_state(example, seed=args["seed"])
 
+    import time as _time
+    t_start = _time.time()
     best_val, best = -1.0, None
     for epoch in range(args["epochs"]):
         state, train_loss = trainer.train_epoch(state, train)
@@ -160,6 +163,9 @@ def main(args: Dict):
               f"lr {trainer.scheduler.lr:.6f}")
         if trainer.scheduler.lr < args["min_lr"]:
             print("lr below min_lr, stopping")
+            break
+        if _time.time() - t_start > args["max_time"] * 3600:
+            print("max_time reached, stopping")
             break
     print(f"best-val epoch {best[0]}: val {best[1]:.4f} test {best[2]:.4f}")
     return best
