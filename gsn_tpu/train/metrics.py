@@ -161,3 +161,22 @@ def average_precision_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
     if not aps:
         raise ValueError("no task with both positive and negative labels")
     return float(np.mean(aps))
+
+
+def binary_f1_score(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """Binary F1 over hard predictions (reference
+    directional_gsn/train/metrics.py keeps per-class F1 among its unused
+    benchmark metrics; provided here for parity)."""
+    y_true = np.asarray(y_true).ravel()
+    y_pred = np.asarray(y_pred).ravel()
+    tp = float(((y_pred == 1) & (y_true == 1)).sum())
+    fp = float(((y_pred == 1) & (y_true == 0)).sum())
+    fn = float(((y_pred == 0) & (y_true == 1)).sum())
+    denom = 2 * tp + fp + fn
+    return 2 * tp / denom if denom else 0.0
+
+
+def mean_absolute_error(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """MAE (reference directional metrics.py MAE)."""
+    return float(np.mean(np.abs(np.asarray(y_true).ravel()
+                                - np.asarray(y_pred).ravel())))

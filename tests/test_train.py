@@ -130,3 +130,13 @@ def test_checkpoint_roundtrip(tmp_path, synthetic_prepared):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(state2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_f1_and_mae():
+    from gsn_tpu.train.metrics import binary_f1_score, mean_absolute_error
+    yt = np.array([1, 1, 0, 0, 1])
+    yp = np.array([1, 0, 0, 1, 1])
+    # tp=2 fp=1 fn=1 -> f1 = 4/(4+2) = 2/3
+    assert abs(binary_f1_score(yt, yp) - 2 / 3) < 1e-9
+    assert binary_f1_score(np.zeros(3), np.zeros(3)) == 0.0
+    assert abs(mean_absolute_error([1.0, 2.0], [1.5, 1.0]) - 0.75) < 1e-9
