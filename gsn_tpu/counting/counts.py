@@ -27,7 +27,22 @@ from typing import Sequence
 import numpy as np
 
 from .orbits import PatternInfo
-from .vf2 import build_adjacency, enumerate_subgraph_isomorphisms
+from .vf2 import (build_adjacency, build_directed_adjacency,
+                  enumerate_directed_subgraph_isomorphisms,
+                  enumerate_subgraph_isomorphisms)
+
+
+def _enumerate(pattern: PatternInfo, edge_index: np.ndarray,
+               num_nodes: int, induced: bool):
+    edges = edge_index.T.tolist()
+    if pattern.directed:
+        h_out, h_in = build_directed_adjacency(num_nodes, edges)
+        return enumerate_directed_subgraph_isomorphisms(
+            pattern.out_adj, pattern.in_adj, pattern.num_vertices,
+            h_out, h_in, num_nodes, induced)
+    host_adj = build_adjacency(num_nodes, edges)
+    return enumerate_subgraph_isomorphisms(
+        pattern.adj, pattern.num_vertices, host_adj, num_nodes, induced)
 
 
 def subgraph_isomorphism_vertex_counts(
@@ -38,14 +53,12 @@ def subgraph_isomorphism_vertex_counts(
 ) -> np.ndarray:
     """[num_nodes, num_orbits] float64 counts (already |Aut|-normalized)."""
     native = _native_engine()
-    if native is not None:
+    if native is not None and not pattern.directed:
         return native.vertex_counts(edge_index, pattern, induced, num_nodes)
 
-    host_adj = build_adjacency(num_nodes, edge_index.T.tolist())
     counts = np.zeros((num_nodes, pattern.num_orbits), dtype=np.float64)
     membership = pattern.orbit_membership
-    for mapping in enumerate_subgraph_isomorphisms(
-            pattern.adj, pattern.num_vertices, host_adj, num_nodes, induced):
+    for mapping in _enumerate(pattern, edge_index, num_nodes, induced):
         for i, node in enumerate(mapping):
             counts[node, membership[i]] += 1
     counts /= pattern.aut_count
@@ -70,18 +83,16 @@ def subgraph_isomorphism_edge_counts(
         num_nodes = int(edge_index.max()) + 1 if edge_index.size else 0
 
     native = _native_engine()
-    if native is not None and num_nodes <= 4096:
+    if native is not None and num_nodes <= 4096 and not pattern.directed:
         return native.edge_counts(edge_index, pattern, induced, num_nodes)
 
     edges = edge_index.T.tolist()
     edge_dict = {(int(u), int(v)): i for i, (u, v) in enumerate(edges)}
-    host_adj = build_adjacency(num_nodes, edges)
 
     counts = np.zeros((len(edges), pattern.num_edge_orbits), dtype=np.float64)
     p_edges = pattern.directed_edges
     membership = pattern.edge_orbit_membership
-    for mapping in enumerate_subgraph_isomorphisms(
-            pattern.adj, pattern.num_vertices, host_adj, num_nodes, induced):
+    for mapping in _enumerate(pattern, edge_index, num_nodes, induced):
         for i, (u, v) in enumerate(p_edges):
             counts[edge_dict[(mapping[u], mapping[v])], membership[i]] += 1
     counts /= pattern.aut_count

@@ -16,7 +16,9 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .vf2 import build_adjacency, enumerate_subgraph_isomorphisms
+from .vf2 import (build_adjacency, build_directed_adjacency,
+                  enumerate_directed_subgraph_isomorphisms,
+                  enumerate_subgraph_isomorphisms)
 
 
 @dataclasses.dataclass
@@ -34,6 +36,10 @@ class PatternInfo:
     directed_edges: List[Tuple[int, int]] | None = None  # sorted both-dirs list
     edge_orbit_membership: List[int] | None = None       # index into directed_edges
     edge_orbit_partition: Dict[int, List[Tuple[int, int]]] | None = None
+    # directed-pattern support (reference --directed)
+    directed: bool = False
+    out_adj: List[int] | None = None
+    in_adj: List[int] | None = None
 
     @property
     def num_orbits(self) -> int:
@@ -68,11 +74,22 @@ def automorphism_orbits(edge_list: Sequence[Tuple[int, int]],
     group is enumerated).
     """
     if directed:
-        raise NotImplementedError("directed patterns not supported yet")
-    n, edges = _canonical_edges(edge_list)
-    adj = build_adjacency(n, edges)
-
-    auts = list(enumerate_subgraph_isomorphisms(adj, n, adj, n, False))
+        n = 0
+        eset = set()
+        for u, v in edge_list:
+            n = max(n, u + 1, v + 1)
+            if u != v:
+                eset.add((u, v))
+        edges = sorted(eset)
+        adj = build_adjacency(n, edges)      # union adjacency
+        out_adj, in_adj = build_directed_adjacency(n, edges)
+        auts = list(enumerate_directed_subgraph_isomorphisms(
+            out_adj, in_adj, n, out_adj, in_adj, n, False))
+    else:
+        n, edges = _canonical_edges(edge_list)
+        adj = build_adjacency(n, edges)
+        out_adj = in_adj = None
+        auts = list(enumerate_subgraph_isomorphisms(adj, n, adj, n, False))
     label = list(range(n))
     for aut in auts:
         for original, image in enumerate(aut):
@@ -91,6 +108,9 @@ def automorphism_orbits(edge_list: Sequence[Tuple[int, int]],
         aut_count=len(auts),
         orbit_membership=orbit_membership,
         orbit_partition=orbit_partition,
+        directed=directed,
+        out_adj=out_adj,
+        in_adj=in_adj,
     )
 
 
@@ -106,8 +126,13 @@ def induced_edge_automorphism_orbits(edge_list: Sequence[Tuple[int, int]],
     first-occurrence order over that list.
     """
     info = automorphism_orbits(edge_list, directed=directed)
-    both = sorted(
-        [(u, v) for u, v in info.edges] + [(v, u) for u, v in info.edges])
+    if directed:
+        # directed patterns keep their edge list as-is (reference
+        # utils_graph_processing.py:73-74 skips to_undirected)
+        both = list(info.edges)
+    else:
+        both = sorted([(u, v) for u, v in info.edges]
+                      + [(v, u) for u, v in info.edges])
 
     orbit2ind: Dict[object, int] = {}
     membership: List[int] = []

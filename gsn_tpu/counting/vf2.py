@@ -125,3 +125,90 @@ def count_automorphisms(adj: Sequence[int], n: int) -> int:
     """|Aut(H)| via monomorphism enumeration H -> H (equal vertex/edge
     counts make every monomorphism an automorphism)."""
     return sum(1 for _ in enumerate_subgraph_isomorphisms(adj, n, adj, n, False))
+
+
+# ---------------------------------------------------------------------------
+# directed variant (reference --directed flag; gt directed VF2)
+# ---------------------------------------------------------------------------
+
+def build_directed_adjacency(n, edges):
+    """(out_adj, in_adj) bitsets; self-loops skipped, parallels collapse."""
+    out_adj = [0] * n
+    in_adj = [0] * n
+    for u, v in edges:
+        if u == v:
+            continue
+        out_adj[u] |= 1 << v
+        in_adj[v] |= 1 << u
+    return out_adj, in_adj
+
+
+def enumerate_directed_subgraph_isomorphisms(
+    p_out: Sequence[int], p_in: Sequence[int], num_pattern: int,
+    h_out: Sequence[int], h_in: Sequence[int], num_host: int,
+    induced: bool,
+) -> Iterator[List[int]]:
+    """Directed monomorphisms / induced isomorphisms: pattern edge u->v
+    must map to a host edge m(u)->m(v); induced additionally forbids
+    host edges between images of pattern non-edges (per direction)."""
+    if num_pattern > num_host:
+        return
+    union_adj = [p_out[v] | p_in[v] for v in range(num_pattern)]
+    order = _pattern_order(union_adj, num_pattern)
+    p_deg_out = [bin(a).count("1") for a in p_out]
+    p_deg_in = [bin(a).count("1") for a in p_in]
+    h_deg_out = [bin(a).count("1") for a in h_out]
+    h_deg_in = [bin(a).count("1") for a in h_in]
+
+    # per order position: earlier positions that are out/in neighbors or
+    # (for induced) non-neighbors in each direction
+    succ_prev, pred_prev, non_succ_prev, non_pred_prev = [], [], [], []
+    for idx, v in enumerate(order):
+        sp, pp, nsp, npp = [], [], [], []
+        for jdx in range(idx):
+            u = order[jdx]
+            if (p_out[u] >> v) & 1:
+                pp.append(jdx)       # u -> v: m(v) in out(m(u))
+            elif induced:
+                npp.append(jdx)
+            if (p_out[v] >> u) & 1:
+                sp.append(jdx)       # v -> u: m(v) in in(m(u))
+            elif induced:
+                nsp.append(jdx)
+        succ_prev.append(sp)
+        pred_prev.append(pp)
+        non_succ_prev.append(nsp)
+        non_pred_prev.append(npp)
+
+    mapping = [0] * num_pattern
+    out = [0] * num_pattern
+    full_host = (1 << num_host) - 1
+
+    def dfs(idx: int, used: int) -> Iterator[List[int]]:
+        v = order[idx]
+        cand = full_host & ~used
+        for jdx in pred_prev[idx]:
+            cand &= h_out[mapping[jdx]]
+        for jdx in succ_prev[idx]:
+            cand &= h_in[mapping[jdx]]
+        if induced:
+            for jdx in non_pred_prev[idx]:
+                cand &= ~h_out[mapping[jdx]]
+            for jdx in non_succ_prev[idx]:
+                cand &= ~h_in[mapping[jdx]]
+        no, ni = p_deg_out[v], p_deg_in[v]
+        while cand:
+            h_bit = cand & -cand
+            cand ^= h_bit
+            h = h_bit.bit_length() - 1
+            if h_deg_out[h] < no or h_deg_in[h] < ni:
+                continue
+            mapping[idx] = h
+            if idx + 1 == num_pattern:
+                for jdx in range(num_pattern):
+                    out[order[jdx]] = mapping[jdx]
+                yield list(out)
+            else:
+                yield from dfs(idx + 1, used | h_bit)
+
+    yield from dfs(0, 0)

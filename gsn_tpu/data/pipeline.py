@@ -56,7 +56,8 @@ def remove_self_loops(g: Dict) -> Dict:
 
 def build_pattern_infos(edge_lists: Sequence, id_scope: str,
                         directed_orbits: bool = False,
-                        edge_automorphism: str = "induced"):
+                        edge_automorphism: str = "induced",
+                        directed: bool = False):
     """Orbit info per pattern (reference utils_data_gen.py:31-42 +
     utils.py:40-45 automorphism_fn selection)."""
     infos = []
@@ -66,9 +67,10 @@ def build_pattern_infos(edge_lists: Sequence, id_scope: str,
                 infos.append(line_graph_edge_automorphism_orbits(el))
             else:
                 infos.append(induced_edge_automorphism_orbits(
-                    el, directed_orbits=directed_orbits))
+                    el, directed=directed,
+                    directed_orbits=directed_orbits))
         else:
-            infos.append(automorphism_orbits(el))
+            infos.append(automorphism_orbits(el, directed=directed))
     return infos
 
 
@@ -96,12 +98,14 @@ def generate_dataset(
     directed_orbits: bool = False,
     num_processes: int = 1,
     edge_automorphism: str = "induced",
+    directed: bool = False,
 ) -> tuple:
     """Attach degrees + identifiers to every graph dict.
 
     Returns (graphs, orbit_partition_sizes)."""
     patterns = build_pattern_infos(pattern_edge_lists, id_scope,
-                                   directed_orbits, edge_automorphism)
+                                   directed_orbits, edge_automorphism,
+                                   directed)
     sizes = [p.num_edge_orbits if id_scope == "local" else p.num_orbits
              for p in patterns]
     if num_processes > 1:

@@ -177,3 +177,53 @@ class TestLineGraphOrbits:
         # star: line graph is complete -> 1 orbit
         assert line_graph_edge_automorphism_orbits(
             star_graph(4)).num_edge_orbits == 1
+
+
+class TestDirected:
+    def test_directed_triangle_counts(self):
+        from gsn_tpu.counting import (automorphism_orbits,
+                                      subgraph_isomorphism_vertex_counts)
+        tri = [(0, 1), (1, 2), (2, 0)]      # directed 3-cycle
+        pat = automorphism_orbits(tri, directed=True)
+        assert pat.aut_count == 3            # rotations only
+        assert pat.num_orbits == 1
+        # host: directed 6-cycle — no directed triangles
+        c6 = np.array([(i, (i + 1) % 6) for i in range(6)]).T
+        counts = subgraph_isomorphism_vertex_counts(
+            c6, pat, induced=False, num_nodes=6)
+        np.testing.assert_allclose(counts, 0.0)
+        # host: two directed triangles sharing nothing
+        host = np.array([(0, 1), (1, 2), (2, 0),
+                         (3, 4), (4, 5), (5, 3)]).T
+        counts = subgraph_isomorphism_vertex_counts(
+            host, pat, induced=False, num_nodes=6)
+        np.testing.assert_allclose(counts, 1.0)
+
+    def test_directed_edge_counts(self):
+        from gsn_tpu.counting import (induced_edge_automorphism_orbits,
+                                      subgraph_isomorphism_edge_counts)
+        # directed wedge 0->1->2: two edge orbits (first/second leg)
+        wedge = [(0, 1), (1, 2)]
+        pat = induced_edge_automorphism_orbits(wedge, directed=True)
+        assert pat.aut_count == 1
+        assert pat.num_edge_orbits == 2
+        # host: directed path 0->1->2->3
+        host = np.array([(0, 1), (1, 2), (2, 3)]).T
+        counts = subgraph_isomorphism_edge_counts(
+            host, pat, induced=False, num_nodes=4)
+        # edge (0,1): first leg of 1 wedge; (1,2): first of one + second
+        # of another; (2,3): second leg of 1
+        np.testing.assert_allclose(counts, [[1, 0], [1, 1], [0, 1]])
+
+    def test_directed_induced(self):
+        from gsn_tpu.counting.vf2 import (
+            build_directed_adjacency,
+            enumerate_directed_subgraph_isomorphisms)
+        # induced 0->1 (no reverse edge) in a bidirected pair: 0 matches
+        po, pi = build_directed_adjacency(2, [(0, 1)])
+        ho, hi = build_directed_adjacency(2, [(0, 1), (1, 0)])
+        mono = sum(1 for _ in enumerate_directed_subgraph_isomorphisms(
+            po, pi, 2, ho, hi, 2, False))
+        ind = sum(1 for _ in enumerate_directed_subgraph_isomorphisms(
+            po, pi, 2, ho, hi, 2, True))
+        assert mono == 2 and ind == 0
