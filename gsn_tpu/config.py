@@ -9,7 +9,7 @@ broadcasting so models receive fully-resolved per-layer hyperparameters.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Optional
 
 
 @dataclasses.dataclass

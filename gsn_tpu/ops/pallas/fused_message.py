@@ -33,8 +33,6 @@ v1 scope: relu/identity activation, no BatchNorm inside the message MLP
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

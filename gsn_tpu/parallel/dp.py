@@ -13,18 +13,16 @@ reference's single-device whole-batch BN (SURVEY §7 "BN + DP").
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import core
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from gsn_tpu.config import GSNConfig
-from gsn_tpu.graphs.batching import infer_y_spec
 from gsn_tpu.graphs.container import GraphBatch, batch_graphs
 from gsn_tpu.nn.models import build_model
 from gsn_tpu.train.loop import TrainState

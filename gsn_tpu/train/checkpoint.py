@@ -10,8 +10,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-from typing import Any
-
 import jax
 from flax import serialization
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Dict, List, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gsn_tpu.config import GSNConfig

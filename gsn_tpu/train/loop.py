@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import core, struct
 
-from gsn_tpu.config import GSNConfig
 from gsn_tpu.graphs.batching import (epoch_caps, infer_y_spec,
                                      iterate_batches)
 from gsn_tpu.graphs.container import GraphBatch
