@@ -129,6 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--resume", type=parse.str2bool, default=False)
     a("--isomorphism_eps", type=float, default=1e-2)
     a("--return_scores", action="store_true")
+    a("--use_mxu", type=parse.str2bool, default=False,
+      help="Pallas MXU aggregation layout (see PERFORMANCE.md)")
     a("--device", type=str, default="default",
       help="default | cpu (force CPU; the axon sitecustomize pins "
            "JAX_PLATFORMS=axon, so env vars alone don't stick)")
@@ -260,7 +262,8 @@ def main(args: Dict):
         eval_frequency=args["eval_frequency"], loss_fn=args["loss_fn"],
         prediction_fn=args["prediction_fn"],
         evaluator=("rocauc" if args["dataset"] == "ogb" else None),
-        seed=args["seed"], shuffle=args["shuffle"], caps_mode="tight")
+        seed=args["seed"], shuffle=args["shuffle"], caps_mode="tight",
+        use_mxu_segment_sum=args.get("use_mxu", False))
 
     fold_idxs = [-1] if args["onesplit"] else args["fold_idx"]
     perf_opt = np.argmin if args["regression"] else np.argmax
