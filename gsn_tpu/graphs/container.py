@@ -54,6 +54,8 @@ class GraphBatch:
     seg_send_local: Optional[jnp.ndarray] = None  # [E] int32 window-local
     seg_block_n: Optional[int] = struct.field(pytree_node=False,
                                               default=None)
+    seg_mode: Optional[str] = struct.field(pytree_node=False,
+                                           default=None)  # aligned | slab
 
     @property
     def num_node_slots(self) -> int:
@@ -175,12 +177,19 @@ def batch_graphs(
         e_off += e
 
     seg_recv_local = seg_chunks = seg_send_local = None
+    seg_mode = None
     if mxu_layout is not None:
+        seg_mode = mxu_layout.get("mode", "aligned")
         edge_ids = identifiers if (has_ids and id_on_edges) else None
+        apply = (_apply_slab_layout if seg_mode == "slab"
+                 else _apply_mxu_layout)
+        kw = {k: v for k, v in mxu_layout.items() if k != "mode"}
         (edge_index, edge_mask, edge_features, edge_ids,
-         seg_recv_local, seg_chunks, seg_send_local) = _apply_mxu_layout(
+         seg_recv_local, seg_chunks, seg_send_local) = apply(
             edge_index, edge_mask, edge_features, edge_ids,
-            node_cap, **mxu_layout)
+            node_cap, **kw)
+        if seg_recv_local is None:
+            seg_mode = None
         if has_ids and id_on_edges:
             identifiers = edge_ids
 
@@ -203,9 +212,56 @@ def batch_graphs(
                     if seg_chunks is not None else None),
         seg_send_local=(jnp.asarray(seg_send_local)
                         if seg_send_local is not None else None),
-        seg_block_n=(mxu_layout.get("block_n", 256)
-                     if mxu_layout is not None else None),
+        seg_block_n=(mxu_layout.get(
+            "block_n", 128 if seg_mode == "slab" else 256)
+            if seg_mode is not None else None),
+        seg_mode=seg_mode,
     )
+
+
+def _apply_slab_layout(edge_index, edge_mask, edge_features, edge_ids,
+                       node_cap, flow="source_to_target",
+                       block_n=128, block_e=256):
+    """Slab-mode metadata (ops/pallas/slab_message.py): edges stay dense,
+    just recv-sorted; per-chunk fb/wf + local indices.  Returns all-None
+    metadata when spans are violated (callers fall back)."""
+    from gsn_tpu.ops.pallas.slab_message import S_S, build_slab_metadata
+
+    select = 0 if flow == "target_to_source" else 1
+    recv = edge_index[select].astype(np.int64)
+    real = np.nonzero(edge_mask)[0]
+    order = real[np.argsort(recv[real], kind="stable")]
+    E = edge_index.shape[1]
+    sort_perm = np.concatenate([order, np.setdiff1d(np.arange(E), real)])
+    edge_index = edge_index[:, sort_perm]
+    edge_mask = edge_mask[sort_perm]
+    if edge_features is not None:
+        edge_features = edge_features[sort_perm]
+    if edge_ids is not None:
+        edge_ids = edge_ids[sort_perm]
+
+    # pad edges to a chunk multiple
+    pad = (-E) % block_e
+    if pad:
+        edge_index = np.pad(edge_index, ((0, 0), (0, pad)))
+        edge_mask = np.pad(edge_mask, (0, pad))
+        if edge_features is not None:
+            edge_features = np.pad(
+                edge_features, ((0, pad),) + ((0, 0),)
+                * (edge_features.ndim - 1))
+        if edge_ids is not None:
+            edge_ids = np.pad(edge_ids, ((0, pad), (0, 0)))
+
+    padded_nodes = max(-(-node_cap // block_n), S_S) * block_n
+    meta = build_slab_metadata(
+        edge_index[select], edge_index[1 - select], edge_mask,
+        padded_nodes, block_n, block_e)
+    if meta is None:
+        return (edge_index, edge_mask, edge_features, edge_ids,
+                None, None, None)
+    seg_chunks = np.stack([meta["fb"], meta["wf"]])
+    return (edge_index, edge_mask, edge_features, edge_ids,
+            meta["recv_local"], seg_chunks, meta["send_local"])
 
 
 def _apply_mxu_layout(edge_index, edge_mask, edge_features, edge_ids,

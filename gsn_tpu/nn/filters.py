@@ -115,20 +115,31 @@ class EdgeMessageMLP(nn.Module):
 
         # --- fused Pallas path ----------------------------------------
         if fused_seg is not None:
-            from gsn_tpu.ops.pallas.fused_message import \
-                fused_edge_message_aggregate
-            recv_local, send_local, cwf, block_n, n_nodes = fused_seg
+            recv_local, send_local, cwf, block_n, n_nodes, mode = fused_seg
             block_e = recv_local.shape[0] // cwf.shape[1]
-            padded = max(-(-n_nodes // block_n), 3) * block_n
             interpret = jax.default_backend() == "cpu"
             zero = jnp.zeros((n_nodes, d1), jnp.float32)
-            agg = fused_edge_message_aggregate(
-                (A if A is not None else zero).astype(jnp.float32),
-                (B if B is not None else zero).astype(jnp.float32),
-                pe.astype(jnp.float32) if pe is not None else None,
-                bias.astype(jnp.float32),
-                recv_local, send_local, cwf, padded, block_n, block_e,
-                self.activation, pe is not None, interpret)[:n_nodes]
+            A_in = (A if A is not None else zero).astype(jnp.float32)
+            B_in = (B if B is not None else zero).astype(jnp.float32)
+            pe_in = pe.astype(jnp.float32) if pe is not None else None
+            if mode == "slab":
+                from gsn_tpu.ops.pallas.slab_message import (
+                    S_S, slab_edge_message_aggregate)
+                padded = max(-(-n_nodes // block_n), S_S) * block_n
+                agg = slab_edge_message_aggregate(
+                    A_in, B_in, pe_in, bias.astype(jnp.float32),
+                    recv_local, send_local, cwf, n_nodes, padded,
+                    block_n, block_e, self.activation, pe is not None,
+                    interpret)[:n_nodes]
+            else:
+                from gsn_tpu.ops.pallas.fused_message import \
+                    fused_edge_message_aggregate
+                padded = max(-(-n_nodes // block_n), 3) * block_n
+                agg = fused_edge_message_aggregate(
+                    A_in, B_in, pe_in, bias.astype(jnp.float32),
+                    recv_local, send_local, cwf, padded, block_n,
+                    block_e, self.activation, pe is not None,
+                    interpret)[:n_nodes]
             if len(widths) == 1:
                 return agg
             # second dense commutes with the sum; its per-message bias
@@ -144,6 +155,9 @@ class EdgeMessageMLP(nn.Module):
                 + cwf[0][jnp.arange(recv_local.shape[0]) // block_e]
                 * block_n,
                 num_segments=padded)[:n_nodes]
+            # (cwf[0] is the chunk's first node block in both modes, and
+            # recv_local is relative to it, so the global recv above is
+            # correct for aligned and slab layouts alike)
             return (out + deg[:, None] * b2).astype(jnp.float32)
 
         # --- standard (per-edge) path ---------------------------------
@@ -252,13 +266,13 @@ class GSNLayer(nn.Module):
                   if self.compute_dtype else None)
             # fused Pallas path: message MLP + aggregation in one kernel
             fused_seg = None
-            if (seg is not None and len(seg) == 4 and seg[3] is not None
+            if (seg is not None and seg[3] is not None
                     and self.aggr == "add" and not self.bn_mlp
                     and len(self.d_h) <= 1
                     and self.activation_mlp in ("relu", "identity")):
-                recv_local, chunks, block_n, send_local = seg
+                recv_local, chunks, block_n, send_local, mode = seg
                 fused_seg = (recv_local, send_local, chunks, block_n,
-                             n_nodes)
+                             n_nodes, mode)
             out_or_msgs = EdgeMessageMLP(
                 self.d_msg if self.d_msg is not None else x.shape[-1],
                 tuple(self.d_h), self.activation_mlp, self.bn_mlp,
@@ -329,7 +343,8 @@ class GSNLayer(nn.Module):
         return self.eps
 
     def _aggregate(self, msgs, recv, n_nodes, edge_mask, seg=None):
-        if seg is not None and self.aggr == "add":
+        if (seg is not None and self.aggr == "add"
+                and (len(seg) < 5 or seg[4] == "aligned")):
             # MXU Pallas path: edges are pre-arranged block-aligned by
             # the batcher (ops/pallas/segment_mxu.py); padding slots
             # carry recv_local == -1 so no mask multiply is needed

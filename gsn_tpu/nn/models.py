@@ -121,7 +121,8 @@ class GNNSubstructures(nn.Module):
                     x, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None
                          else (data.seg_recv_local, data.seg_chunks,
-                               data.seg_block_n, data.seg_send_local)))
+                               data.seg_block_n, data.seg_send_local,
+                               data.seg_mode)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",
@@ -235,7 +236,8 @@ class GNN_OGB(nn.Module):
                     h, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None
                          else (data.seg_recv_local, data.seg_chunks,
-                               data.seg_block_n, data.seg_send_local)))
+                               data.seg_block_n, data.seg_send_local,
+                               data.seg_mode)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",

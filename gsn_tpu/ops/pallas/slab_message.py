@@ -1,0 +1,295 @@
+"""Slab-based fused edge-message kernel — v2, zero edge inflation.
+
+v1 (``fused_message.py``) aligned edge chunks to node blocks, which
+padded edge arrays by 25-45% and taxed every edge-level op.  v2 keeps
+the batch's edge arrays *dense* (original recv-sorted order, padding at
+the tail) and lets each Be-edge chunk write a private output slab
+covering the S_R=2 node blocks its receivers span; slabs are then
+combined with one cheap sorted segment-sum over (C*S_R) block-rows.
+Sender windows span S_S=4 blocks around the chunk's first block.
+
+Per chunk (all in VMEM, MXU matmuls):
+
+    oh_r [Be, 2Bn]  receiver one-hot within the chunk's 2-block span
+    oh_s [Be, 4Bn]  sender one-hot within the 4-block window
+    H    = oh_r @ A_span + oh_s @ B_win (+ Pe + b1);  Hact = act(H)
+    slab[t] = oh_rᵀ @ Hact                  # [2Bn, d], no revisiting
+
+Backward returns dH = oh_r @ g_span (masked by act'), and the dA/dB
+scatters are the same slab trick with oh_rᵀ / oh_sᵀ — no XLA scatter
+anywhere.
+
+Validity: every sender of an edge received in block fb..fb+1 lies in
+blocks fb-1..fb+2 provided each graph has <= Bn nodes, and a chunk's
+receivers span <= 2 blocks when its 256 sorted receivers cover < 2*Bn
+node ids — true for molecular batches; the host builder returns None on
+violation and callers fall back to the unfused path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+S_R = 2   # receiver span (node blocks per slab)
+S_S = 4   # sender window (node blocks)
+
+
+def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
+                        edge_mask: np.ndarray, num_nodes: int,
+                        block_n: int = 128,
+                        block_e: int = 256) -> Optional[Dict]:
+    """Per-chunk metadata for dense recv-sorted edges.
+
+    Returns dict with ``fb`` [C] (chunk's first recv block, clipped so
+    fb+S_R and window fit), ``wf`` [C] (sender window first block),
+    ``recv_local`` [E] in [0, S_R*block_n) or -1, ``send_local`` [E] in
+    [0, S_S*block_n) or -1 — or None when any chunk violates the spans.
+    """
+    E = len(recv)
+    if E % block_e:
+        return None
+    num_blocks = -(-num_nodes // block_n)
+    # need at least the window sizes
+    if num_blocks < S_S:
+        return None
+    C = E // block_e
+    fb = np.zeros(C, np.int32)
+    wf = np.zeros(C, np.int32)
+    recv_local = np.full(E, -1, np.int32)
+    send_local = np.full(E, -1, np.int32)
+    prev_fb = 0
+    for t in range(C):
+        lo, hi = t * block_e, (t + 1) * block_e
+        m = edge_mask[lo:hi]
+        if not m.any():
+            fb[t] = prev_fb
+            wf[t] = min(max(prev_fb - 1, 0), num_blocks - S_S)
+            continue
+        r = recv[lo:hi][m]
+        s = send[lo:hi][m]
+        f = int(r.min() // block_n)
+        f = min(f, num_blocks - S_R)
+        if (r.max() // block_n) - f >= S_R:
+            return None           # receiver span too wide (sparse batch)
+        w = min(max(f - 1, 0), num_blocks - S_S)
+        sl = s - w * block_n
+        if (sl < 0).any() or (sl >= S_S * block_n).any():
+            return None           # a graph exceeds block_n nodes
+        rl = np.full(block_e, -1, np.int32)
+        rl[m] = (r - f * block_n).astype(np.int32)
+        sv = np.full(block_e, -1, np.int32)
+        sv[m] = sl.astype(np.int32)
+        recv_local[lo:hi] = rl
+        send_local[lo:hi] = sv
+        fb[t] = f
+        wf[t] = w
+        prev_fb = f
+    return {"fb": fb, "wf": wf, "recv_local": recv_local,
+            "send_local": send_local, "block_n": block_n,
+            "block_e": block_e, "num_blocks": num_blocks}
+
+
+def _onehots(recv_ref, send_ref, block_n):
+    recv = recv_ref[...].reshape(-1, 1).astype(jnp.int32)
+    send = send_ref[...].reshape(-1, 1).astype(jnp.int32)
+    Be = recv.shape[0]
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (Be, S_R * block_n), 1)
+    cols_s = jax.lax.broadcasted_iota(jnp.int32, (Be, S_S * block_n), 1)
+    oh_r = jnp.where(cols_r == recv, 1.0, 0.0).astype(jnp.float32)
+    oh_s = jnp.where(cols_s == send, 1.0, 0.0).astype(jnp.float32)
+    return oh_r, oh_s
+
+
+def _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe):
+    a_span = jnp.concatenate([r[...] for r in a_refs], 0)
+    b_win = jnp.concatenate([r[...] for r in b_refs], 0)
+    h = (jnp.dot(oh_r, a_span, preferred_element_type=jnp.float32)
+         + jnp.dot(oh_s, b_win, preferred_element_type=jnp.float32))
+    if has_pe:
+        h = h + pe_ref[...]
+    return h + bias_ref[...]
+
+
+def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
+                a0, a1, b0, b1, b2, b3, bias_ref,
+                slab_ref, *, block_n, act, has_pe):
+    oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
+    h = _h(oh_r, oh_s, (a0, a1), (b0, b1, b2, b3), pe_ref, bias_ref,
+           has_pe)
+    if act == "relu":
+        h = jnp.maximum(h, 0.0)
+    slab_ref[...] = jax.lax.dot_general(
+        oh_r, h, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[None]
+
+
+def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
+                a0, a1, b0, b1, b2, b3, bias_ref, g0, g1,
+                dh_ref, da_slab_ref, db_slab_ref,
+                *, block_n, act, has_pe):
+    oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
+    g_span = jnp.concatenate([g0[...], g1[...]], 0)       # [2Bn, d]
+    g_e = jnp.dot(oh_r, g_span, preferred_element_type=jnp.float32)
+    if act == "relu":
+        h = _h(oh_r, oh_s, (a0, a1), (b0, b1, b2, b3), pe_ref, bias_ref,
+               has_pe)
+        g_e = jnp.where(h > 0, g_e, 0.0)
+    dh_ref[...] = g_e
+    da_slab_ref[...] = jax.lax.dot_general(
+        oh_r, g_e, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[None]
+    db_slab_ref[...] = jax.lax.dot_general(
+        oh_s, g_e, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[None]
+
+
+def _specs(block_e, block_n, d1):
+    """Shared input specs: recv, send, Pe, A-span (2 blocks), B-window
+    (4 blocks), bias."""
+    return [
+        pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
+        pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
+        pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),
+        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (fb[t], 0)),
+        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (fb[t] + 1, 0)),
+        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (wf[t], 0)),
+        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (wf[t] + 1, 0)),
+        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (wf[t] + 2, 0)),
+        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (wf[t] + 3, 0)),
+        pl.BlockSpec((1, d1), lambda t, fb, wf: (0, 0)),
+    ]
+
+
+def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d):
+    """[C, span*Bn, d] chunk slabs -> [num_blocks*Bn, d] via one sorted
+    segment-sum over block-rows."""
+    C = slabs.shape[0]
+    rows = slabs.reshape(C * span, block_n * d)
+    ids = (first_block[:, None]
+           + jnp.arange(span)[None, :]).reshape(-1)
+    out = jax.ops.segment_sum(rows, ids, num_segments=num_blocks)
+    return out.reshape(num_blocks * block_n, d)
+
+
+def _pad_nodes(x, rows):
+    return jnp.pad(x.astype(jnp.float32), ((0, rows - x.shape[0]), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def slab_edge_message_aggregate(
+        A, B, Pe, b1,
+        recv_local, send_local, fb_wf, num_real_nodes,
+        num_nodes: int, block_n: int, block_e: int,
+        act: str = "relu", has_pe: bool = True,
+        interpret: bool = False):
+    """agg[v] = Σ_{e→v} act(A[recv]+B[send]+Pe+b1)   — dense edges.
+
+    fb_wf: stacked [2, C] of (fb, wf).  num_nodes: padded node rows
+    (multiple of block_n, >= S_S blocks).  Returns [num_nodes, d1]."""
+    out, _ = _slab_fwd_impl(A, B, Pe if has_pe else None, b1, recv_local,
+                            send_local, fb_wf, num_nodes, block_n,
+                            block_e, act, interpret)
+    return out
+
+
+def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
+                   num_nodes, block_n, block_e, act, interpret):
+    C = fb_wf.shape[1]
+    d1 = A.shape[1]
+    num_blocks = num_nodes // block_n
+    has_pe = Pe is not None
+    Pe_arr = (Pe.astype(jnp.float32) if has_pe
+              else jnp.zeros((C * block_e, d1), jnp.float32))
+    A = _pad_nodes(A, num_nodes)
+    B = _pad_nodes(B, num_nodes)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # fb, wf
+        grid=(C,),
+        in_specs=_specs(block_e, block_n, d1),
+        out_specs=pl.BlockSpec((1, S_R * block_n, d1),
+                               lambda t, fb, wf: (t, 0, 0)),
+    )
+    slabs = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_n=block_n, act=act,
+                          has_pe=has_pe),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, S_R * block_n, d1),
+                                       jnp.float32),
+        interpret=interpret,
+    )(fb_wf[0], fb_wf[1],
+      recv_local.reshape(C, 1, block_e), send_local.reshape(C, 1, block_e),
+      Pe_arr, A, A, B, B, B, B,
+      b1.reshape(1, d1).astype(jnp.float32))
+    out = _combine_slabs(slabs, fb_wf[0], S_R, num_blocks, block_n, d1)
+    return out, None
+
+
+def _slab_fwd(A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
+              num_nodes, block_n, block_e, act, has_pe, interpret):
+    out = slab_edge_message_aggregate(
+        A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
+        num_nodes, block_n, block_e, act, has_pe, interpret)
+    return out, (A, B, Pe, b1, recv_local, send_local, fb_wf)
+
+
+def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
+              res, g):
+    A, B, Pe, b1, recv_local, send_local, fb_wf = res
+    C = fb_wf.shape[1]
+    d1 = A.shape[1]
+    num_blocks = num_nodes // block_n
+    Pe_arr = (Pe.astype(jnp.float32) if has_pe
+              else jnp.zeros((C * block_e, d1), jnp.float32))
+    A_p = _pad_nodes(A, num_nodes)
+    B_p = _pad_nodes(B, num_nodes)
+    g = jnp.pad(g.astype(jnp.float32),
+                ((0, num_nodes - g.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C,),
+        in_specs=_specs(block_e, block_n, d1) + [
+            pl.BlockSpec((block_n, d1), lambda t, fb, wf: (fb[t], 0)),
+            pl.BlockSpec((block_n, d1), lambda t, fb, wf: (fb[t] + 1, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),
+            pl.BlockSpec((1, S_R * block_n, d1),
+                         lambda t, fb, wf: (t, 0, 0)),
+            pl.BlockSpec((1, S_S * block_n, d1),
+                         lambda t, fb, wf: (t, 0, 0)),
+        ],
+    )
+    dH, da_slabs, db_slabs = pl.pallas_call(
+        functools.partial(_bwd_kernel, block_n=block_n, act=act,
+                          has_pe=has_pe),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C * block_e, d1), jnp.float32),
+            jax.ShapeDtypeStruct((C, S_R * block_n, d1), jnp.float32),
+            jax.ShapeDtypeStruct((C, S_S * block_n, d1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(fb_wf[0], fb_wf[1],
+      recv_local.reshape(C, 1, block_e), send_local.reshape(C, 1, block_e),
+      Pe_arr, A_p, A_p, B_p, B_p, B_p, B_p,
+      b1.reshape(1, d1).astype(jnp.float32), g, g)
+
+    dA = _combine_slabs(da_slabs, fb_wf[0], S_R, num_blocks, block_n,
+                        d1)[:A.shape[0]]
+    dB = _combine_slabs(db_slabs, fb_wf[1], S_S, num_blocks, block_n,
+                        d1)[:B.shape[0]]
+    db1 = jnp.sum(dH, axis=0)
+    dPe = dH if has_pe else None
+    return (dA, dB, dPe, db1, None, None, None, None)
+
+
+slab_edge_message_aggregate.defvjp(_slab_fwd, _slab_bwd)
