@@ -71,7 +71,7 @@ def main():
     graphs, d_id = make_zinc_like(BATCH_GRAPHS)
     cfg = GSNConfig(
         model_name="GSN_edge_sparse", num_layers=4, d_out=128,
-        out_features=1, msg_kind="general", id_scope="global",
+        out_features=1, msg_kind="general", id_scope="global", bn_mlp=False,
         id_embedding="one_hot_encoder", input_node_encoder="embedding",
         edge_encoder="embedding", readout="sum",
         in_features=1, d_in_node_encoder=[28], d_in_edge_encoder=[4],
@@ -86,8 +86,8 @@ def main():
                                       y_shape=(), y_dtype=np.float32))
     data_mxu = next(iterate_batches(
         graphs, BATCH_GRAPHS, caps=caps, y_shape=(), y_dtype=np.float32,
-        mxu_layout={"flow": "source_to_target",
-                    "block_n": 256, "block_e": 256}))
+        mxu_layout={"mode": "slab", "flow": "source_to_target",
+                    "block_n": 128, "block_e": 256}))
     real_edges = int(np.asarray(data_plain.edge_mask).sum())
 
     dt_plain = run_variant(trainer, data_plain, ITERS)
