@@ -314,14 +314,57 @@ class GSNLayer(nn.Module):
             update_in = (1.0 + self._eps()) * self_msg + agg
 
         elif self.msg_kind == "ogb":
-            m = x_j
+            # m = relu(x_j + id + e) (GSN_edge_sparse_ogb.py:119-129) is
+            # exactly the slab kernel's act(A[recv]+B[send]+Pe+b1) with
+            # A=0, B=x, Pe=(edge-level id + e), so the fused path applies
+            slab_ok = (seg is not None and len(seg) == 5
+                       and seg[3] is not None and seg[4] == "slab"
+                       and self.aggr == "add")
+            pe_parts = []
             if self.use_ids:
-                m = m + (ids_edge if self.id_scope == "local"
-                         else ids_j)
+                if self.id_scope == "local":
+                    pe_parts.append(ids_edge)
+                else:
+                    pe_parts.append(None)  # node-level: fold into B side
             if self.use_edge_features:
-                m = m + ef
-            msgs = nn.relu(m)
-            agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
+                pe_parts.append(ef)
+            if slab_ok:
+                import jax as _jax
+
+                from gsn_tpu.ops.pallas.slab_message import (
+                    S_S, slab_edge_message_aggregate)
+                recv_local, chunks, block_n, send_local, _m = seg
+                block_e = recv_local.shape[0] // chunks.shape[1]
+                padded = max(-(-n_nodes // block_n), S_S) * block_n
+                B_side = x
+                if self.use_ids and self.id_scope == "global":
+                    # x + ids broadcasts to the wider of the two
+                    B_side = x + identifiers.astype(jnp.float32)
+                pe = None
+                for p in pe_parts:
+                    if p is not None:
+                        pe = p if pe is None else pe + p
+                dm = B_side.shape[-1]
+                if pe is not None and pe.shape[-1] != dm:
+                    pe = jnp.broadcast_to(pe, (pe.shape[0], dm)) \
+                        if pe.shape[-1] == 1 else pe + jnp.zeros((1, dm))
+                zero = jnp.zeros((n_nodes, dm), jnp.float32)
+                agg = slab_edge_message_aggregate(
+                    zero, B_side.astype(jnp.float32),
+                    pe.astype(jnp.float32) if pe is not None else None,
+                    jnp.zeros((dm,), jnp.float32),
+                    recv_local, send_local, chunks, n_nodes, padded,
+                    block_n, block_e, "relu", pe is not None,
+                    _jax.default_backend() == "cpu")[:n_nodes]
+            else:
+                m = x_j
+                if self.use_ids:
+                    m = m + (ids_edge if self.id_scope == "local"
+                             else ids_j)
+                if self.use_edge_features:
+                    m = m + ef
+                msgs = nn.relu(m)
+                agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
             self_msg = x
             if self.use_ids and self.id_scope == "global":
                 self_msg = x + identifiers.astype(jnp.float32)
