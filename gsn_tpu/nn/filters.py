@@ -309,8 +309,49 @@ class GSNLayer(nn.Module):
                 self_parts.append(ef_ii)
                 msg_parts.append(ef)
             self_msg = jnp.concatenate(self_parts, -1)
-            msgs = jnp.concatenate(msg_parts, -1)
-            agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
+            # sum of concats = concat of sums: each part aggregates
+            # independently; node-level parts go through the slab kernel
+            slab_ok = (seg is not None and len(seg) == 5
+                       and seg[3] is not None and seg[4] == "slab"
+                       and self.aggr == "add")
+            if slab_ok:
+                import jax as _jax
+
+                from gsn_tpu.ops.pallas.slab_message import (
+                    S_S, slab_edge_message_aggregate)
+                recv_local, chunks, block_n, send_local, _m = seg
+                block_e = recv_local.shape[0] // chunks.shape[1]
+                padded = max(-(-n_nodes // block_n), S_S) * block_n
+                interp = _jax.default_backend() == "cpu"
+
+                def slab_part(node_arr=None, edge_arr=None):
+                    dm = (node_arr if node_arr is not None
+                          else edge_arr).shape[-1]
+                    zero = jnp.zeros((n_nodes, dm), jnp.float32)
+                    return slab_edge_message_aggregate(
+                        zero,
+                        (node_arr.astype(jnp.float32)
+                         if node_arr is not None else zero),
+                        (edge_arr.astype(jnp.float32)
+                         if edge_arr is not None else None),
+                        jnp.zeros((dm,), jnp.float32),
+                        recv_local, send_local, chunks, n_nodes, padded,
+                        block_n, block_e, "identity",
+                        edge_arr is not None, interp)[:n_nodes]
+
+                agg_parts = [slab_part(node_arr=x)]
+                if self.use_ids:
+                    if self.id_scope == "local":
+                        agg_parts.append(slab_part(edge_arr=ids_edge))
+                    else:
+                        agg_parts.append(slab_part(
+                            node_arr=identifiers.astype(jnp.float32)))
+                if self.use_edge_features:
+                    agg_parts.append(slab_part(edge_arr=ef))
+                agg = jnp.concatenate(agg_parts, -1)
+            else:
+                msgs = jnp.concatenate(msg_parts, -1)
+                agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
             update_in = (1.0 + self._eps()) * self_msg + agg
 
         elif self.msg_kind == "ogb":

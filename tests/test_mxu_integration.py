@@ -219,3 +219,61 @@ def test_slab_mode_ogb_msg_kind(prepared):
                     jax.tree_util.tree_leaves(g_plain)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-4 * scale)
+
+
+def test_slab_mode_gin_msg_kind(prepared):
+    """gin messages (concat parts) aggregate part-wise through the slab
+    kernel with identity activation."""
+    graphs, d_id = prepared
+    cfg = GSNConfig(
+        model_name="GSN_sparse", num_layers=2, d_out=16, out_features=2,
+        msg_kind="gin", id_scope="global", bn=True, train_eps=True,
+        id_embedding="one_hot_encoder",
+        in_features=1, d_in_id=d_id).finalize()
+    model = build_model(cfg)
+
+    caps = (256, 512, 24)
+    plain = next(iterate_batches(graphs, 24, caps=caps))
+    slab = next(iterate_batches(graphs, 24, caps=caps, mxu_layout=SLAB))
+    variables = model.init(jax.random.PRNGKey(0), plain, train=False)
+    out_plain = np.asarray(model.apply(variables, plain, train=False))
+    out_slab = np.asarray(model.apply(variables, slab, train=False))
+    np.testing.assert_allclose(out_slab, out_plain, rtol=2e-4, atol=2e-5)
+
+    def loss(params, data):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            data, train=True, mutable=["batch_stats"])
+        return ((out ** 2) * data.graph_mask[:, None]).sum()
+
+    g_plain = jax.grad(loss)(variables["params"], plain)
+    g_slab = jax.grad(loss)(variables["params"], slab)
+    scale = max(float(np.max(np.abs(np.asarray(x))))
+                for x in jax.tree_util.tree_leaves(g_plain))
+    for a, b in zip(jax.tree_util.tree_leaves(g_slab),
+                    jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4 * scale)
+
+
+def test_slab_mode_gin_local_scope():
+    """gin + edge-scope ids exercise the CentralEncoder-transformed
+    edge identifiers through the slab path."""
+    graphs0 = make_synthetic_dataset(n_per_class=8)
+    graphs0, _ = generate_dataset(graphs0, [cycle_graph(3)],
+                                  id_scope="local")
+    graphs0, _eid, d_id, _ed, _dd = encode(graphs0, "one_hot_unique")
+    cfg = GSNConfig(
+        model_name="GSN_sparse", num_layers=1, d_out=16, out_features=2,
+        msg_kind="gin", id_scope="local", bn=True,
+        id_embedding="one_hot_encoder",
+        in_features=1, d_in_id=d_id).finalize()
+    model = build_model(cfg)
+
+    caps = (256, 512, 16)
+    plain = next(iterate_batches(graphs0, 16, caps=caps))
+    slab = next(iterate_batches(graphs0, 16, caps=caps, mxu_layout=SLAB))
+    variables = model.init(jax.random.PRNGKey(0), plain, train=False)
+    out_plain = np.asarray(model.apply(variables, plain, train=False))
+    out_slab = np.asarray(model.apply(variables, slab, train=False))
+    np.testing.assert_allclose(out_slab, out_plain, rtol=2e-4, atol=2e-5)
