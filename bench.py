@@ -10,12 +10,19 @@ is left at 1.0 until a recorded baseline exists.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BATCH_GRAPHS = 1024
 ITERS = 30
+
+# persistent compilation cache: repeat bench runs skip the multi-minute
+# remote compiles
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
 def make_zinc_like(num_graphs, seed=0):
@@ -63,7 +70,15 @@ def run_variant(trainer, data, iters):
     return time.perf_counter() - t0
 
 
-def main():
+def main(full: bool = False):
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from gsn_tpu.config import GSNConfig
     from gsn_tpu.graphs.batching import iterate_batches, tight_epoch_caps
     from gsn_tpu.train.loop import Trainer, TrainerConfig
@@ -82,26 +97,31 @@ def main():
     trainer = Trainer(cfg, tcfg, graphs)
     caps = tight_epoch_caps(np.arange(len(graphs)), graphs, BATCH_GRAPHS)
 
-    data_plain = next(iterate_batches(graphs, BATCH_GRAPHS, caps=caps,
-                                      y_shape=(), y_dtype=np.float32))
     data_mxu = next(iterate_batches(
         graphs, BATCH_GRAPHS, caps=caps, y_shape=(), y_dtype=np.float32,
         mxu_layout={"mode": "slab", "flow": "source_to_target",
                     "block_n": 128, "block_e": 256}))
-    real_edges = int(np.asarray(data_plain.edge_mask).sum())
+    real_edges = int(np.asarray(data_mxu.edge_mask).sum())
 
-    dt_plain = run_variant(trainer, data_plain, ITERS)
     dt_mxu = run_variant(trainer, data_mxu, ITERS)
-    dt = min(dt_plain, dt_mxu)
+    dt = dt_mxu
+    vs = 1.0
+    if full:
+        data_plain = next(iterate_batches(
+            graphs, BATCH_GRAPHS, caps=caps, y_shape=(),
+            y_dtype=np.float32))
+        dt_plain = run_variant(trainer, data_plain, ITERS)
+        dt = min(dt_plain, dt_mxu)
+        vs = round(dt_plain / dt_mxu, 3)
 
     edges_per_s = real_edges * ITERS / dt
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
-        "vs_baseline": round(dt_plain / dt_mxu, 3),
+        "vs_baseline": vs,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main(full="--full" in sys.argv)
