@@ -13,10 +13,14 @@ the "graph/batch exceeding one chip" scaling layer the TPU build adds:
   node-level first dense (see ``EdgeMessageMLP``), the exchanged bytes
   are N*d_h*4 per layer.
 
-A ring-pipelined variant (ppermute with per-hop partial aggregation,
-overlapping ICI transfers with local segment-sums) is the planned
-next step for >8-chip scaling; the all-gather form is already
-collective-efficient on a single ICI ring and is what XLA emits for it.
+Two exchange strategies:
+- ``edge_partitioned_propagate``: all-gather the node shards, gather per
+  edge (simple; peak memory = full node array);
+- ``ring_edge_partitioned_propagate``: node shards rotate around the
+  ring via ppermute, each hop aggregating the edges whose senders live
+  in the currently-held shard — ICI transfers overlap with the local
+  segment-sums and peak memory stays at ~2 shards (the halo-exchange
+  overlap design from SURVEY §2.3 / BASELINE).
 """
 
 from __future__ import annotations
@@ -163,3 +167,102 @@ def scaling_efficiency_bench(
     return {"edges": E, "devices": D,
             "dist_edges_per_s": E / dist_dt,
             "single_edges_per_s": E / single_dt}
+
+
+# ---------------------------------------------------------------------------
+# ring-pipelined variant: rotate node shards with ppermute, aggregate
+# per-hop partials — ICI transfers overlap with local segment-sums
+# (XLA's latency-hiding scheduler interleaves the collective-permute
+# with the per-hop compute)
+# ---------------------------------------------------------------------------
+
+def partition_edges_ring(
+    edge_index: np.ndarray,    # [2, E] global ids, recv row 0
+    num_nodes: int,
+    num_devices: int,
+) -> Dict[str, np.ndarray]:
+    """Bucket each device's received edges by the *source* shard, padded
+    to a common per-(device, hop) capacity.
+
+    Returns arrays with leading axes [D, D, Ecap]: hop k on device d
+    processes bucket ``(d, (d - k) % D)`` whose senders live in the
+    shard d holds at that step.
+    """
+    if num_nodes % num_devices:
+        raise ValueError("num_nodes must be divisible by num_devices")
+    block = num_nodes // num_devices
+    recv, send = edge_index[0], edge_index[1]
+    D = num_devices
+
+    buckets = [[[] for _ in range(D)] for _ in range(D)]
+    for e in range(edge_index.shape[1]):
+        d = recv[e] // block
+        s = send[e] // block
+        buckets[d][s].append(e)
+    cap = max((len(b) for row in buckets for b in row), default=1)
+    cap = max(((cap + 127) // 128) * 128, 128)
+
+    recv_local = np.zeros((D, D, cap), np.int32)
+    send_local = np.zeros((D, D, cap), np.int32)
+    mask = np.zeros((D, D, cap), bool)
+    for d in range(D):
+        for k in range(D):
+            s = (d - k) % D
+            idx = buckets[d][s]
+            n = len(idx)
+            recv_local[d, k, :n] = recv[idx] - d * block
+            send_local[d, k, :n] = send[idx] - s * block
+            mask[d, k, :n] = True
+    return {"recv_local": recv_local, "send_local": send_local,
+            "edge_mask": mask, "node_block": block}
+
+
+def ring_edge_partitioned_propagate(
+    mesh: Mesh,
+    message_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    axis: str = "ep",
+):
+    """out[v] = sum_e message_fn(x[recv(e)], x[send(e)]) with node shards
+    rotating around the ring: hop k processes the edges whose senders
+    live in the shard currently held, then permutes the shard onward.
+    Peak memory is 2 node shards (vs the full all-gather)."""
+
+    def local(x_shard, recv_local, send_local, edge_mask):
+        recv_local = recv_local[0]     # [D, Ecap]
+        send_local = send_local[0]
+        edge_mask = edge_mask[0]
+        block = x_shard.shape[0]
+        D = jax.lax.psum(1, axis)
+
+        def hop(k, carry):
+            agg, held = carry
+            r = jax.lax.dynamic_index_in_dim(recv_local, k, 0,
+                                             keepdims=False)
+            s = jax.lax.dynamic_index_in_dim(send_local, k, 0,
+                                             keepdims=False)
+            m = jax.lax.dynamic_index_in_dim(edge_mask, k, 0,
+                                             keepdims=False)
+            msgs = message_fn(x_shard[r], held[s])
+            agg = agg + masked_segment_sum(msgs, r, block, m)
+            # rotate shards: device d sends its held shard to d+1
+            held = jax.lax.ppermute(
+                held, axis,
+                [(i, (i + 1) % D) for i in range(mesh.devices.size)])
+            return agg, held
+
+        d_msg = message_fn(x_shard[:1], x_shard[:1]).shape[-1]
+        agg0 = jnp.zeros((block, d_msg), jnp.float32)
+        # the carry becomes device-varying after the first hop; mark the
+        # initial zeros accordingly (shard_map varying-axes tracking)
+        try:
+            agg0 = jax.lax.pvary(agg0, (axis,))
+        except AttributeError:
+            pass
+        agg, _ = jax.lax.fori_loop(0, mesh.devices.size, hop,
+                                   (agg0, x_shard))
+        return agg
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis)))

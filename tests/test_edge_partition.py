@@ -51,3 +51,27 @@ def test_scaling_bench_runs():
                                    d=32, iters=3)
     assert out["devices"] == 8
     assert out["dist_edges_per_s"] > 0
+
+
+def test_ring_propagate_matches_single():
+    from gsn_tpu.parallel.edge_partition import (
+        partition_edges_ring, ring_edge_partitioned_propagate)
+
+    rng = np.random.RandomState(2)
+    N, E, D, d = 64, 400, 8, 16
+    ei = np.stack([rng.randint(0, N, E), rng.randint(0, N, E)])
+    x = rng.randn(N, d).astype(np.float32)
+
+    mesh = make_mesh(D, ("ep",))
+    parts = partition_edges_ring(ei, N, D)
+    prop = ring_edge_partitioned_propagate(
+        mesh, lambda xi, xj: jnp.tanh(xi) + 2.0 * xj)
+    got = np.asarray(prop(
+        jnp.asarray(x), jnp.asarray(parts["recv_local"]),
+        jnp.asarray(parts["send_local"]),
+        jnp.asarray(parts["edge_mask"])))
+
+    want = np.asarray(masked_segment_sum(
+        jnp.tanh(jnp.asarray(x)[ei[0]]) + 2.0 * jnp.asarray(x)[ei[1]],
+        jnp.asarray(ei[0]), N))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
