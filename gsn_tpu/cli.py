@@ -261,7 +261,9 @@ def main(args: Dict):
         num_iters_test=args["num_iters_test"],
         eval_frequency=args["eval_frequency"], loss_fn=args["loss_fn"],
         prediction_fn=args["prediction_fn"],
-        evaluator=("rocauc" if args["dataset"] == "ogb" else None),
+        evaluator=("rocauc" if (args["dataset"] == "ogb" and
+                                args["dataset_name"] != "ogbg-ppa")
+                   else None),
         seed=args["seed"], shuffle=args["shuffle"], caps_mode="tight",
         use_mxu_segment_sum=args.get("use_mxu", False))
 

@@ -111,8 +111,11 @@ def load_ogb_data(path: str, name: str):
     """OGB graph-prop datasets from the standard on-disk csv layout.
 
     Reads ``raw/`` csv.gz files of a downloaded
-    ``ogbg_mol*`` dataset directly (edge.csv.gz, edge-feat, node-feat,
+    ``ogbg_*`` dataset directly (edge.csv.gz, edge-feat, node-feat,
     num-node-list, num-edge-list, graph-label), avoiding the ogb package.
+    ogbg-ppa has no node features (the reference's add_zeros transform,
+    utils_data_prep.py:181-185, substitutes zeros) and integer class
+    labels.
     """
     import gzip
 
@@ -128,12 +131,17 @@ def load_ogb_data(path: str, name: str):
             return np.array([[dtype(v) for v in line.strip().split(",")]
                              for line in f if line.strip()])
 
+    is_ppa = name == "ogbg-ppa"
     edges = read_csv_gz("edge.csv.gz", int)
-    edge_feat = read_csv_gz("edge-feat.csv.gz", int)
-    node_feat = read_csv_gz("node-feat.csv.gz", int)
+    edge_feat = read_csv_gz("edge-feat.csv.gz",
+                            float if is_ppa else int)
     num_nodes = read_csv_gz("num-node-list.csv.gz", int).ravel()
     num_edges = read_csv_gz("num-edge-list.csv.gz", int).ravel()
     labels = read_csv_gz("graph-label.csv.gz", float)
+    if is_ppa:
+        node_feat = np.zeros((int(num_nodes.sum()), 1), np.int64)
+    else:
+        node_feat = read_csv_gz("node-feat.csv.gz", int)
 
     graphs = []
     n_off = e_off = 0
@@ -147,12 +155,15 @@ def load_ogb_data(path: str, name: str):
         graphs.append({
             "x": node_feat[n_off:n_off + n].astype(np.int64),
             "edge_index": ei.astype(np.int64),
-            "edge_features": ef.astype(np.int64),
-            "y": labels[gi].astype(np.float32),
+            "edge_features": (ef.astype(np.float32) if is_ppa
+                              else ef.astype(np.int64)),
+            "y": (np.int64(labels[gi][0]) if is_ppa
+                  else labels[gi].astype(np.float32)),
         })
         n_off += n
         e_off += e
-    num_tasks = labels.shape[1]
+    # ppa: classes; mol*: tasks (reference utils_data_prep.py:193)
+    num_tasks = (int(labels.max()) + 1 if is_ppa else labels.shape[1])
     return graphs, num_tasks
 
 

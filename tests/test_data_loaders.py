@@ -134,3 +134,28 @@ def test_cache_and_downgrade(tmp_path):
     assert g4[0]["identifiers"].shape[1] == sum(s4)
     np.testing.assert_array_equal(
         g4[0]["identifiers"], g5[0]["identifiers"][:, :sum(s4)])
+
+
+def test_load_ogb_ppa_raw(tmp_path):
+    """ogbg-ppa: zero node features (add_zeros), float edge features,
+    integer class labels."""
+    raw = tmp_path / "ogbg_ppa" / "raw"
+    os.makedirs(raw)
+
+    def write(name, rows):
+        with gzip.open(raw / name, "wt") as f:
+            for r in rows:
+                f.write(",".join(map(str, np.atleast_1d(r))) + "\n")
+
+    write("num-node-list.csv.gz", [3, 2])
+    write("num-edge-list.csv.gz", [2, 1])
+    write("edge.csv.gz", [[0, 1], [1, 2], [0, 1]])
+    write("edge-feat.csv.gz", [[0.5] * 7, [0.1] * 7, [0.9] * 7])
+    write("graph-label.csv.gz", [4, 2])
+
+    graphs, num_classes = load_ogb_data(str(tmp_path), "ogbg-ppa")
+    assert num_classes == 5
+    assert graphs[0]["x"].shape == (3, 1)
+    assert (graphs[0]["x"] == 0).all()
+    assert graphs[0]["edge_features"].dtype == np.float32
+    assert graphs[0]["y"] == 4 and graphs[1]["y"] == 2
