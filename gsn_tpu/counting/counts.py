@@ -53,7 +53,7 @@ def subgraph_isomorphism_vertex_counts(
 ) -> np.ndarray:
     """[num_nodes, num_orbits] float64 counts (already |Aut|-normalized)."""
     native = _native_engine()
-    if native is not None and not pattern.directed:
+    if native is not None:
         return native.vertex_counts(edge_index, pattern, induced, num_nodes)
 
     counts = np.zeros((num_nodes, pattern.num_orbits), dtype=np.float64)
@@ -83,7 +83,7 @@ def subgraph_isomorphism_edge_counts(
         num_nodes = int(edge_index.max()) + 1 if edge_index.size else 0
 
     native = _native_engine()
-    if native is not None and num_nodes <= 4096 and not pattern.directed:
+    if native is not None and num_nodes <= 4096:
         return native.edge_counts(edge_index, pattern, induced, num_nodes)
 
     edges = edge_index.T.tolist()

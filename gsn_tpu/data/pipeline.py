@@ -90,6 +90,45 @@ def _prepare_one(g: Dict, patterns, induced: bool, id_scope: str) -> Dict:
     return g
 
 
+def _prepare_batch_native(graphs, patterns, induced, id_scope,
+                          num_threads):
+    """One native batch call per pattern (OpenMP fan-out over graphs in
+    C++) instead of one VF2 call per (graph, pattern) — amortizes ctypes
+    overhead and avoids forking a multithreaded JAX process."""
+    from gsn_tpu.native import engine
+
+    graphs = [remove_self_loops(dict(g)) for g in graphs]
+    for g in graphs:
+        n = g["x"].shape[0]
+        g["degrees"] = compute_degrees(g["edge_index"], n)
+        g["graph_size"] = n
+        g["ids_on_edges"] = id_scope == "local"
+    edge_indices = [g["edge_index"] for g in graphs]
+    nodes = [g["x"].shape[0] for g in graphs]
+    fn = (engine.edge_counts_batch if id_scope == "local"
+          else engine.vertex_counts_batch)
+    per_pattern = [fn(edge_indices, nodes, p, induced,
+                      num_threads=num_threads) for p in patterns]
+    for gi, g in enumerate(graphs):
+        g["identifiers"] = np.concatenate(
+            [cols[gi] for cols in per_pattern], axis=1).astype(np.int64)
+    return graphs
+
+
+def _native_batch_ok(graphs, patterns, id_scope) -> bool:
+    try:
+        from gsn_tpu.native import engine
+    except Exception:
+        return False
+    if not engine.available():
+        return False
+    if id_scope == "local" and any(
+            g["x"].shape[0] > engine.MAX_DENSE_LOOKUP_NODES
+            for g in graphs):
+        return False
+    return True
+
+
 def generate_dataset(
     graphs: List[Dict],
     pattern_edge_lists: Sequence,
@@ -108,7 +147,10 @@ def generate_dataset(
                                    directed)
     sizes = [p.num_edge_orbits if id_scope == "local" else p.num_orbits
              for p in patterns]
-    if num_processes > 1:
+    if _native_batch_ok(graphs, patterns, id_scope):
+        graphs = _prepare_batch_native(graphs, patterns, induced,
+                                       id_scope, num_processes)
+    elif num_processes > 1:
         import functools
         fn = functools.partial(_prepare_one, patterns=patterns,
                                induced=induced, id_scope=id_scope)

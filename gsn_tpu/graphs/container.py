@@ -56,6 +56,18 @@ class GraphBatch:
                                               default=None)
     seg_mode: Optional[str] = struct.field(pytree_node=False,
                                            default=None)  # aligned | slab
+    # host-precomputed receiver in-degree [N] float32 (constant per
+    # batch; saves an on-device segment-sum in the fused kernel's
+    # second-dense bias correction)
+    seg_in_degree: Optional[jnp.ndarray] = None
+    # slab-pool metadata (ops/pallas/slab_pool.py): node->graph one-hot
+    # MXU pooling; [Np] block-local graph ids (-1 padding), [C] first
+    # graph block per node chunk, [G] real node count per graph
+    pool_recv_local: Optional[jnp.ndarray] = None
+    pool_fb: Optional[jnp.ndarray] = None
+    pool_counts: Optional[jnp.ndarray] = None
+    pool_block_g: Optional[int] = struct.field(pytree_node=False,
+                                               default=None)
 
     @property
     def num_node_slots(self) -> int:
@@ -178,6 +190,7 @@ def batch_graphs(
 
     seg_recv_local = seg_chunks = seg_send_local = None
     seg_mode = None
+    seg_in_degree = None
     if mxu_layout is not None:
         seg_mode = mxu_layout.get("mode", "aligned")
         edge_ids = identifiers if (has_ids and id_on_edges) else None
@@ -190,6 +203,12 @@ def batch_graphs(
             node_cap, **kw)
         if seg_recv_local is None:
             seg_mode = None
+        else:
+            sel = (0 if mxu_layout.get("flow", "source_to_target")
+                   == "target_to_source" else 1)
+            seg_in_degree = np.bincount(
+                edge_index[sel][edge_mask],
+                minlength=node_cap).astype(np.float32)
         if has_ids and id_on_edges:
             identifiers = edge_ids
 
@@ -216,6 +235,8 @@ def batch_graphs(
             "block_n", 128 if seg_mode == "slab" else 256)
             if seg_mode is not None else None),
         seg_mode=seg_mode,
+        seg_in_degree=(jnp.asarray(seg_in_degree)
+                       if seg_in_degree is not None else None),
     )
 
 

@@ -29,13 +29,16 @@ MAX_DENSE_LOOKUP_NODES = 4096
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO, _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-o", _SO, _SRC]
+    for cmd in (base + ["-fopenmp"], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load():
@@ -68,6 +71,30 @@ def _load():
         lib.vf2_count_automorphisms.restype = ctypes.c_int64
         lib.vf2_count_automorphisms.argtypes = [
             i32p, ctypes.c_int64, ctypes.c_int32]
+        lib.vf2_vertex_counts_dir.restype = ctypes.c_int64
+        lib.vf2_vertex_counts_dir.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int32, ctypes.c_int32, f64p]
+        lib.vf2_edge_counts_dir.restype = ctypes.c_int64
+        lib.vf2_edge_counts_dir.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32, i32p,
+            i32p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int64, i32p,
+            ctypes.c_int32, ctypes.c_int32, f64p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.vf2_vertex_counts_batch.restype = ctypes.c_int64
+        lib.vf2_vertex_counts_batch.argtypes = [
+            i32p, i64p, i32p, i64p, ctypes.c_int32,
+            i32p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            f64p, ctypes.c_int32]
+        lib.vf2_edge_counts_batch.restype = ctypes.c_int64
+        lib.vf2_edge_counts_batch.argtypes = [
+            i32p, i64p, i32p, ctypes.c_int32,
+            i32p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int64, i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, f64p, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -91,11 +118,12 @@ def vertex_counts(edge_index: np.ndarray, pattern, induced: bool,
     host_edges = _as_i32(edge_index.T)
     membership = _as_i32(np.array(pattern.orbit_membership))
     counts = np.zeros((num_nodes, pattern.num_orbits), dtype=np.float64)
-    lib.vf2_vertex_counts(
-        _i32p(host_edges), host_edges.shape[0], num_nodes,
-        _i32p(pat_edges), pat_edges.shape[0], pattern.num_vertices,
-        _i32p(membership), pattern.num_orbits, int(induced),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    fn = (lib.vf2_vertex_counts_dir if pattern.directed
+          else lib.vf2_vertex_counts)
+    fn(_i32p(host_edges), host_edges.shape[0], num_nodes,
+       _i32p(pat_edges), pat_edges.shape[0], pattern.num_vertices,
+       _i32p(membership), pattern.num_orbits, int(induced),
+       counts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     counts /= pattern.aut_count
     return counts
 
@@ -115,14 +143,91 @@ def edge_counts(edge_index: np.ndarray, pattern, induced: bool,
     dir_edges = _as_i32(np.array(pattern.directed_edges).reshape(-1, 2))
     membership = _as_i32(np.array(pattern.edge_orbit_membership))
     counts = np.zeros((num_rows, pattern.num_edge_orbits), dtype=np.float64)
-    lib.vf2_edge_counts(
-        _i32p(host_edges), num_rows, num_nodes, _i32p(lookup),
-        _i32p(pat_edges), pat_edges.shape[0], pattern.num_vertices,
-        _i32p(dir_edges), dir_edges.shape[0], _i32p(membership),
-        pattern.num_edge_orbits, int(induced),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    fn = (lib.vf2_edge_counts_dir if pattern.directed
+          else lib.vf2_edge_counts)
+    fn(_i32p(host_edges), num_rows, num_nodes, _i32p(lookup),
+       _i32p(pat_edges), pat_edges.shape[0], pattern.num_vertices,
+       _i32p(dir_edges), dir_edges.shape[0], _i32p(membership),
+       pattern.num_edge_orbits, int(induced),
+       counts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     counts /= pattern.aut_count
     return counts
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _f64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _clamp_threads(n: int) -> int:
+    """Oversubscription actively hurts the DFS inner loop; never ask for
+    more OpenMP threads than physical cores."""
+    return min(int(n), os.cpu_count() or 1) if n > 0 else 0
+
+
+def _flatten_batch(edge_indices, num_nodes_list):
+    num_graphs = len(edge_indices)
+    ne = np.array([ei.shape[1] for ei in edge_indices], dtype=np.int64)
+    edge_starts = np.zeros(num_graphs + 1, dtype=np.int64)
+    np.cumsum(ne, out=edge_starts[1:])
+    if edge_starts[-1]:
+        edges_flat = _as_i32(np.concatenate(
+            [ei.T for ei in edge_indices], axis=0))
+    else:
+        edges_flat = np.zeros((0, 2), dtype=np.int32)
+    nn = _as_i32(np.asarray(num_nodes_list))
+    node_starts = np.zeros(num_graphs + 1, dtype=np.int64)
+    np.cumsum(nn.astype(np.int64), out=node_starts[1:])
+    return edges_flat, edge_starts, nn, node_starts
+
+
+def vertex_counts_batch(edge_indices, num_nodes_list, pattern,
+                        induced: bool, num_threads: int = 0):
+    """Per-graph [n_g, num_orbits] |Aut|-normalized counts for a list of
+    graphs in one native call (OpenMP fan-out over graphs)."""
+    lib = _load()
+    edges_flat, edge_starts, nn, node_starts = _flatten_batch(
+        edge_indices, num_nodes_list)
+    pat_edges = _as_i32(np.array(pattern.edges).reshape(-1, 2))
+    membership = _as_i32(np.array(pattern.orbit_membership))
+    counts = np.zeros((int(node_starts[-1]), pattern.num_orbits),
+                      dtype=np.float64)
+    lib.vf2_vertex_counts_batch(
+        _i32p(edges_flat), _i64p(edge_starts), _i32p(nn),
+        _i64p(node_starts), len(edge_indices),
+        _i32p(pat_edges), pat_edges.shape[0], pattern.num_vertices,
+        _i32p(membership), pattern.num_orbits, int(induced),
+        int(pattern.directed), _f64p(counts),
+        _clamp_threads(num_threads))
+    counts /= pattern.aut_count
+    return [counts[node_starts[g]:node_starts[g + 1]]
+            for g in range(len(edge_indices))]
+
+
+def edge_counts_batch(edge_indices, num_nodes_list, pattern,
+                      induced: bool, num_threads: int = 0):
+    """Per-graph [e_g, num_edge_orbits] |Aut|-normalized counts."""
+    lib = _load()
+    edges_flat, edge_starts, nn, _ns = _flatten_batch(
+        edge_indices, num_nodes_list)
+    pat_edges = _as_i32(np.array(pattern.edges).reshape(-1, 2))
+    dir_edges = _as_i32(np.array(pattern.directed_edges).reshape(-1, 2))
+    membership = _as_i32(np.array(pattern.edge_orbit_membership))
+    counts = np.zeros((int(edge_starts[-1]), pattern.num_edge_orbits),
+                      dtype=np.float64)
+    lib.vf2_edge_counts_batch(
+        _i32p(edges_flat), _i64p(edge_starts), _i32p(nn),
+        len(edge_indices),
+        _i32p(pat_edges), pat_edges.shape[0], pattern.num_vertices,
+        _i32p(dir_edges), dir_edges.shape[0], _i32p(membership),
+        pattern.num_edge_orbits, int(induced), int(pattern.directed),
+        _f64p(counts), _clamp_threads(num_threads))
+    counts /= pattern.aut_count
+    return [counts[edge_starts[g]:edge_starts[g + 1]]
+            for g in range(len(edge_indices))]
 
 
 def count_automorphisms(edges: np.ndarray, num_nodes: int) -> int:

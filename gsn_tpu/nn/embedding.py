@@ -38,6 +38,48 @@ def _as_2d(x: jnp.ndarray) -> jnp.ndarray:
     return x[:, None] if x.ndim == 1 else x
 
 
+def _embed_lookup_mxu_grad(table: jnp.ndarray, idx: jnp.ndarray):
+    """Row gather whose *backward* is a one-hot matmul instead of an XLA
+    scatter-add.
+
+    TPU scatter lowers to a slow sort-based loop (~0.5 ms per table on
+    the bench workload); the transposed one-hot matmul runs on the MXU in
+    ~10 us for small vocabularies.  Forward numerics are the plain
+    gather; dtable = one_hotᵀ @ g is exact (each product is g·1 or g·0).
+    """
+    idx = idx.astype(jnp.int32)
+    v = table.shape[0]
+
+    @jax.custom_vjp
+    def _f(tab):
+        return jnp.take(tab, idx, axis=0)
+
+    def _fwd(tab):
+        return _f(tab), None
+
+    def _bwd(_, g):
+        oh = (idx[:, None]
+              == jnp.arange(v, dtype=jnp.int32)[None, :]).astype(g.dtype)
+        return (jax.lax.dot_general(
+            oh, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=g.dtype),)
+
+    _f.defvjp(_fwd, _bwd)
+    return _f(table)
+
+
+class _MXUGradEmbed(nn.Embed):
+    """nn.Embed with the matmul backward (identical param tree)."""
+
+    def __call__(self, inputs):
+        return _embed_lookup_mxu_grad(self.embedding, inputs)
+
+
+# above this vocabulary size the [rows, vocab] one-hot built in the
+# backward costs more HBM traffic than the scatter it replaces
+MXU_GRAD_MAX_VOCAB = 128
+
+
 class MultiEmbedding(nn.Module):
     """Per-column embedding tables with sum or concat aggregation
     (reference multi_embedding, utils_graph_learning.py:134-167)."""
@@ -54,8 +96,9 @@ class MultiEmbedding(nn.Module):
                 else nn.initializers.xavier_uniform())
         outs = []
         for i, v in enumerate(self.vocab_sizes):
-            emb = nn.Embed(v, self.d_out, embedding_init=init,
-                           name=f"embed_{i}")(x[:, i])
+            cls = _MXUGradEmbed if v <= MXU_GRAD_MAX_VOCAB else nn.Embed
+            emb = cls(v, self.d_out, embedding_init=init,
+                      name=f"embed_{i}")(x[:, i])
             outs.append(emb)
         if self.aggr == "concat":
             return jnp.concatenate(outs, axis=1)

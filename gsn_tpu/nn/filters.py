@@ -115,7 +115,8 @@ class EdgeMessageMLP(nn.Module):
 
         # --- fused Pallas path ----------------------------------------
         if fused_seg is not None:
-            recv_local, send_local, cwf, block_n, n_nodes, mode = fused_seg
+            (recv_local, send_local, cwf, block_n, n_nodes, mode,
+             in_deg) = fused_seg
             block_e = recv_local.shape[0] // cwf.shape[1]
             interpret = jax.default_backend() == "cpu"
             zero = jnp.zeros((n_nodes, d1), jnp.float32)
@@ -148,16 +149,19 @@ class EdgeMessageMLP(nn.Module):
                            name="dense_1")(agg)
             b2 = self.param("dense_1_bias", nn.initializers.zeros,
                             (widths[1],))
-            ones = jnp.where(recv_local >= 0, 1.0, 0.0)
-            deg = jax.ops.segment_sum(
-                ones,
-                jnp.maximum(recv_local, 0)
-                + cwf[0][jnp.arange(recv_local.shape[0]) // block_e]
-                * block_n,
-                num_segments=padded)[:n_nodes]
-            # (cwf[0] is the chunk's first node block in both modes, and
-            # recv_local is relative to it, so the global recv above is
-            # correct for aligned and slab layouts alike)
+            if in_deg is not None:
+                deg = in_deg[:n_nodes]
+            else:
+                ones = jnp.where(recv_local >= 0, 1.0, 0.0)
+                deg = jax.ops.segment_sum(
+                    ones,
+                    jnp.maximum(recv_local, 0)
+                    + cwf[0][jnp.arange(recv_local.shape[0]) // block_e]
+                    * block_n,
+                    num_segments=padded)[:n_nodes]
+                # (cwf[0] is the chunk's first node block in both modes,
+                # and recv_local is relative to it, so the global recv
+                # above is correct for aligned and slab layouts alike)
             return (out + deg[:, None] * b2).astype(jnp.float32)
 
         # --- standard (per-edge) path ---------------------------------
@@ -270,9 +274,10 @@ class GSNLayer(nn.Module):
                     and self.aggr == "add" and not self.bn_mlp
                     and len(self.d_h) <= 1
                     and self.activation_mlp in ("relu", "identity")):
-                recv_local, chunks, block_n, send_local, mode = seg
+                recv_local, chunks, block_n, send_local, mode = seg[:5]
+                in_deg = seg[5] if len(seg) > 5 else None
                 fused_seg = (recv_local, send_local, chunks, block_n,
-                             n_nodes, mode)
+                             n_nodes, mode, in_deg)
             out_or_msgs = EdgeMessageMLP(
                 self.d_msg if self.d_msg is not None else x.shape[-1],
                 tuple(self.d_h), self.activation_mlp, self.bn_mlp,
@@ -311,7 +316,7 @@ class GSNLayer(nn.Module):
             self_msg = jnp.concatenate(self_parts, -1)
             # sum of concats = concat of sums: each part aggregates
             # independently; node-level parts go through the slab kernel
-            slab_ok = (seg is not None and len(seg) == 5
+            slab_ok = (seg is not None and len(seg) >= 5
                        and seg[3] is not None and seg[4] == "slab"
                        and self.aggr == "add")
             if slab_ok:
@@ -319,7 +324,7 @@ class GSNLayer(nn.Module):
 
                 from gsn_tpu.ops.pallas.slab_message import (
                     S_S, slab_edge_message_aggregate)
-                recv_local, chunks, block_n, send_local, _m = seg
+                recv_local, chunks, block_n, send_local, _m = seg[:5]
                 block_e = recv_local.shape[0] // chunks.shape[1]
                 padded = max(-(-n_nodes // block_n), S_S) * block_n
                 interp = _jax.default_backend() == "cpu"
@@ -358,7 +363,7 @@ class GSNLayer(nn.Module):
             # m = relu(x_j + id + e) (GSN_edge_sparse_ogb.py:119-129) is
             # exactly the slab kernel's act(A[recv]+B[send]+Pe+b1) with
             # A=0, B=x, Pe=(edge-level id + e), so the fused path applies
-            slab_ok = (seg is not None and len(seg) == 5
+            slab_ok = (seg is not None and len(seg) >= 5
                        and seg[3] is not None and seg[4] == "slab"
                        and self.aggr == "add")
             pe_parts = []
@@ -374,7 +379,7 @@ class GSNLayer(nn.Module):
 
                 from gsn_tpu.ops.pallas.slab_message import (
                     S_S, slab_edge_message_aggregate)
-                recv_local, chunks, block_n, send_local, _m = seg
+                recv_local, chunks, block_n, send_local, _m = seg[:5]
                 block_e = recv_local.shape[0] // chunks.shape[1]
                 padded = max(-(-n_nodes // block_n), S_S) * block_n
                 B_side = x

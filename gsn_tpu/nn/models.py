@@ -122,7 +122,7 @@ class GNNSubstructures(nn.Module):
                     seg=(None if data.seg_recv_local is None
                          else (data.seg_recv_local, data.seg_chunks,
                                data.seg_block_n, data.seg_send_local,
-                               data.seg_mode)))
+                               data.seg_mode, data.seg_in_degree)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",
@@ -237,7 +237,7 @@ class GNN_OGB(nn.Module):
                     seg=(None if data.seg_recv_local is None
                          else (data.seg_recv_local, data.seg_chunks,
                                data.seg_block_n, data.seg_send_local,
-                               data.seg_mode)))
+                               data.seg_mode, data.seg_in_degree)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",

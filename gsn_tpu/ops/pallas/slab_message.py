@@ -168,13 +168,24 @@ def _specs(block_e, block_n, d1):
 
 
 def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d):
-    """[C, span*Bn, d] chunk slabs -> [num_blocks*Bn, d] via one sorted
-    segment-sum over block-rows."""
+    """[C, span*Bn, d] chunk slabs -> [num_blocks*Bn, d] block-row
+    reduction, expressed as a one-hot MXU matmul.
+
+    XLA lowers the equivalent sorted segment-sum to a serial
+    dynamic-update-slice loop (~200 GB/s measured); the [num_blocks,
+    C*span] 0/1 assignment matmul reads every slab row once at matmul
+    speed and costs only num_blocks*C*span*Bn*d extra MAC flops (~5
+    GFLOP on the bench shapes, ~0.1 ms)."""
     C = slabs.shape[0]
     rows = slabs.reshape(C * span, block_n * d)
     ids = (first_block[:, None]
-           + jnp.arange(span)[None, :]).reshape(-1)
-    out = jax.ops.segment_sum(rows, ids, num_segments=num_blocks)
+           + jnp.arange(span, dtype=first_block.dtype)[None, :]).reshape(-1)
+    assign = (ids[None, :]
+              == jnp.arange(num_blocks, dtype=ids.dtype)[:, None]
+              ).astype(rows.dtype)
+    out = jax.lax.dot_general(
+        assign, rows, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=rows.dtype)
     return out.reshape(num_blocks * block_n, d)
 
 
