@@ -212,6 +212,19 @@ def batch_graphs(
         if has_ids and id_on_edges:
             identifiers = edge_ids
 
+    pool_recv_local = pool_fb = pool_counts = None
+    pool_block_g = None
+    if mxu_layout is not None and seg_mode is not None:
+        from gsn_tpu.ops.pallas.slab_pool import build_pool_metadata
+        pmeta = build_pool_metadata(batch_vec, node_mask, graph_cap)
+        if pmeta is not None:
+            pool_recv_local = pmeta["recv_local"]
+            pool_fb = pmeta["fb"]
+            pool_block_g = pmeta["block_g"]
+            pool_counts = np.bincount(
+                batch_vec[node_mask],
+                minlength=graph_cap).astype(np.float32)
+
     return GraphBatch(
         x=jnp.asarray(x),
         edge_index=jnp.asarray(edge_index),
@@ -237,6 +250,12 @@ def batch_graphs(
         seg_mode=seg_mode,
         seg_in_degree=(jnp.asarray(seg_in_degree)
                        if seg_in_degree is not None else None),
+        pool_recv_local=(jnp.asarray(pool_recv_local)
+                         if pool_recv_local is not None else None),
+        pool_fb=jnp.asarray(pool_fb) if pool_fb is not None else None,
+        pool_counts=(jnp.asarray(pool_counts)
+                     if pool_counts is not None else None),
+        pool_block_g=pool_block_g,
     )
 
 

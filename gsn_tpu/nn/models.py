@@ -31,6 +31,20 @@ def _pool_fn(readout: str):
     raise ValueError(f"invalid readout {readout!r}")
 
 
+def _make_pool(readout: str, data: GraphBatch):
+    """Node-level pooling closure; routes through the Pallas one-hot MXU
+    pool kernel when the batch carries slab-pool metadata."""
+    fn = _pool_fn(readout)
+    seg = (None if data.pool_recv_local is None
+           else (data.pool_recv_local, data.pool_fb, data.pool_block_g,
+                 data.pool_counts))
+
+    def pool(x, batch, num_graphs, node_mask):
+        return fn(x, batch, num_graphs, node_mask, pool_seg=seg)
+
+    return pool
+
+
 class GNNSubstructures(nn.Module):
     """Main GSN model (reference models_graph_classification.py:15-247).
 
@@ -48,7 +62,7 @@ class GNNSubstructures(nn.Module):
         c = self.cfg
         nm, em = data.node_mask, data.edge_mask
         num_graphs = data.num_graph_slots
-        pool = _pool_fn(c.readout)
+        pool = _make_pool(c.readout, data)
 
         degrees = DiscreteEmbedding(
             c.degree_embedding, 1, c.d_degree, c.d_out_degree_embedding,
@@ -161,7 +175,7 @@ class GNN_OGB(nn.Module):
         c = self.cfg
         nm, em = data.node_mask, data.edge_mask
         num_graphs = data.num_graph_slots
-        pool = _pool_fn(c.readout)
+        pool = _make_pool(c.readout, data)
         act = choose_activation(c.activation)
         L = len(c.d_out)
 
@@ -257,7 +271,7 @@ class GNN_OGB(nn.Module):
             x_interm.append(x)
 
             if i < L - 1 and c.vn:
-                vn_tmp = _pool_fn(c.vn_pooling)(
+                vn_tmp = _make_pool(c.vn_pooling, data)(
                     x_interm[i], data.batch, num_graphs, nm) + vn
                 vn = MLP(c.d_out_vn[i], tuple(c.d_h[i]), c.activation_mlp,
                          c.bn_mlp, name=f"mlp_vn_{i}")(

@@ -66,16 +66,39 @@ def masked_segment_max(
     return jnp.where(jnp.isfinite(out), out, jnp.full_like(out, fill))
 
 
+def _slab_pool_sum(x, num_graphs, pool_seg):
+    from gsn_tpu.ops.pallas.slab_pool import slab_add_pool
+    recv_local, fb, block_g, _counts = pool_seg
+    n_pad = recv_local.shape[0]
+    block_e = n_pad // fb.shape[0]
+    x = jnp.pad(x.astype(jnp.float32), ((0, n_pad - x.shape[0]), (0, 0)))
+    return slab_add_pool(x, recv_local, fb, num_graphs, block_g, block_e,
+                         jax.default_backend() == "cpu")
+
+
 def global_add_pool(x: jnp.ndarray, batch: jnp.ndarray, num_graphs: int,
-                    node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Per-graph sum readout (reference global_add_pool_sparse)."""
+                    node_mask: Optional[jnp.ndarray] = None,
+                    pool_seg=None) -> jnp.ndarray:
+    """Per-graph sum readout (reference global_add_pool_sparse).
+
+    ``pool_seg`` = (recv_local, fb, block_g, counts) host-built metadata
+    routes through the Pallas one-hot MXU kernel (padding nodes carry
+    recv_local == -1, so no mask multiply is needed)."""
+    if pool_seg is not None:
+        return _slab_pool_sum(x, num_graphs, pool_seg)
     return masked_segment_sum(x, batch, num_graphs, node_mask,
                               indices_are_sorted=True)
 
 
 def global_mean_pool(x: jnp.ndarray, batch: jnp.ndarray, num_graphs: int,
-                     node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     node_mask: Optional[jnp.ndarray] = None,
+                     pool_seg=None) -> jnp.ndarray:
     """Per-graph mean readout with empty-graph zero-guard (reference
     global_mean_pool_sparse, ``utils_graph_learning.py:32-41``)."""
+    if pool_seg is not None:
+        total = _slab_pool_sum(x, num_graphs, pool_seg)
+        counts = pool_seg[3][:num_graphs]
+        denom = jnp.where(counts == 0, 1.0, counts)
+        return total / denom[:, None]
     return masked_segment_mean(x, batch, num_graphs, node_mask,
                                indices_are_sorted=True)
