@@ -103,9 +103,13 @@ def main(full: bool = False):
                     "block_n": 128, "block_e": 256}))
     real_edges = int(np.asarray(data_mxu.edge_mask).sum())
 
+    # measured plain-XLA (no Pallas) figure on the same workload/chip
+    # (PERFORMANCE.md): the framework's own non-kernel baseline
+    PLAIN_XLA_EDGES_PER_S = 2.89e6
+
     dt_mxu = run_variant(trainer, data_mxu, ITERS)
     dt = dt_mxu
-    vs = 1.0
+    vs = round(real_edges * ITERS / dt_mxu / PLAIN_XLA_EDGES_PER_S, 3)
     if full:
         data_plain = next(iterate_batches(
             graphs, BATCH_GRAPHS, caps=caps, y_shape=(),

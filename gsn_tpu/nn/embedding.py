@@ -38,41 +38,33 @@ def _as_2d(x: jnp.ndarray) -> jnp.ndarray:
     return x[:, None] if x.ndim == 1 else x
 
 
-def _embed_lookup_mxu_grad(table: jnp.ndarray, idx: jnp.ndarray):
-    """Row gather whose *backward* is a one-hot matmul instead of an XLA
-    scatter-add.
+def _embed_lookup_mxu(table: jnp.ndarray, idx: jnp.ndarray):
+    """Row lookup as a one-hot MXU matmul.
 
-    TPU scatter lowers to a slow sort-based loop (~0.5 ms per table on
-    the bench workload); the transposed one-hot matmul runs on the MXU in
-    ~10 us for small vocabularies.  Forward numerics are the plain
-    gather; dtable = one_hotᵀ @ g is exact (each product is g·1 or g·0).
+    TPU scatter (the gather's transpose) lowers to a slow sort-based loop
+    (~0.5 ms per table on the bench workload); the one-hot matmul and its
+    transpose both run on the MXU in ~10 us for small vocabularies.
+    Numerics are exactly the plain gather: the one-hot row has a single
+    1.0, so each output element is x·1 plus exact zeros.  Being plain XLA
+    ops (no custom_vjp), shard_map's replication inference sees through
+    it, so replicated-parameter gradients still auto-psum under DP.
     """
     idx = idx.astype(jnp.int32)
     v = table.shape[0]
-
-    @jax.custom_vjp
-    def _f(tab):
-        return jnp.take(tab, idx, axis=0)
-
-    def _fwd(tab):
-        return _f(tab), None
-
-    def _bwd(_, g):
-        oh = (idx[:, None]
-              == jnp.arange(v, dtype=jnp.int32)[None, :]).astype(g.dtype)
-        return (jax.lax.dot_general(
-            oh, g, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=g.dtype),)
-
-    _f.defvjp(_fwd, _bwd)
-    return _f(table)
+    oh = (idx[:, None]
+          == jnp.arange(v, dtype=jnp.int32)[None, :]).astype(table.dtype)
+    # HIGH (3-pass): exact for one-hot x f32; DEFAULT would round the table to bf16
+    return jax.lax.dot_general(
+        oh, table, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=table.dtype,
+        precision=jax.lax.Precision.HIGH)
 
 
 class _MXUGradEmbed(nn.Embed):
-    """nn.Embed with the matmul backward (identical param tree)."""
+    """nn.Embed computed as a one-hot matmul (identical param tree)."""
 
     def __call__(self, inputs):
-        return _embed_lookup_mxu_grad(self.embedding, inputs)
+        return _embed_lookup_mxu(self.embedding, inputs)
 
 
 # above this vocabulary size the [rows, vocab] one-hot built in the

@@ -123,23 +123,58 @@ class EdgeMessageMLP(nn.Module):
             A_in = (A if A is not None else zero).astype(jnp.float32)
             B_in = (B if B is not None else zero).astype(jnp.float32)
             pe_in = pe.astype(jnp.float32) if pe is not None else None
+            b_eff = bias.astype(jnp.float32)
+            # a single-dense MLP has no hidden activation (reference
+            # models_misc.mlp applies act between layers only)
+            act_k = self.activation if len(widths) > 1 else "identity"
             if mode == "slab":
                 from gsn_tpu.ops.pallas.slab_message import (
                     S_S, slab_edge_message_aggregate)
                 padded = max(-(-n_nodes // block_n), S_S) * block_n
+                if self.batch_norm and len(widths) > 1:
+                    # fused BN: BN of the affine pre-activation H is an
+                    # affine reparametrization of (A, B, Pe, bias); the
+                    # masked moments come from one joint [H, H^2] slab
+                    # pass (padding edges carry recv_local == -1 and
+                    # contribute nothing, matching the edge_mask BN)
+                    if train:
+                        hs = slab_edge_message_aggregate(
+                            A_in, B_in, pe_in, b_eff, recv_local,
+                            send_local, cwf, n_nodes, padded, block_n,
+                            block_e, "id_sq", pe is not None,
+                            interpret)[:n_nodes]
+                        n_e = (jnp.sum(in_deg[:n_nodes])
+                               if in_deg is not None
+                               else jnp.sum(
+                                   jnp.where(recv_local >= 0, 1.0, 0.0)))
+                        moments = (n_e, jnp.sum(hs[:, :d1], 0),
+                                   jnp.sum(hs[:, d1:], 0))
+                    else:
+                        moments = (1.0, jnp.zeros(d1, jnp.float32),
+                                   jnp.zeros(d1, jnp.float32))
+                    bn = MaskedBatchNorm(name="bn_0",
+                                         axis_name=self.axis_name)
+                    mean, var, sc, bi = bn(None,
+                                           use_running_average=not train,
+                                           moments=moments)
+                    s = sc * jax.lax.rsqrt(var + bn.epsilon)
+                    A_in = A_in * s
+                    B_in = B_in * s
+                    pe_in = pe_in * s if pe_in is not None else None
+                    b_eff = (b_eff - mean) * s + bi
                 agg = slab_edge_message_aggregate(
-                    A_in, B_in, pe_in, bias.astype(jnp.float32),
+                    A_in, B_in, pe_in, b_eff,
                     recv_local, send_local, cwf, n_nodes, padded,
-                    block_n, block_e, self.activation, pe is not None,
+                    block_n, block_e, act_k, pe is not None,
                     interpret)[:n_nodes]
             else:
                 from gsn_tpu.ops.pallas.fused_message import \
                     fused_edge_message_aggregate
                 padded = max(-(-n_nodes // block_n), 3) * block_n
                 agg = fused_edge_message_aggregate(
-                    A_in, B_in, pe_in, bias.astype(jnp.float32),
+                    A_in, B_in, pe_in, b_eff,
                     recv_local, send_local, cwf, padded, block_n,
-                    block_e, self.activation, pe is not None,
+                    block_e, act_k, pe is not None,
                     interpret)[:n_nodes]
             if len(widths) == 1:
                 return agg
@@ -271,7 +306,8 @@ class GSNLayer(nn.Module):
             # fused Pallas path: message MLP + aggregation in one kernel
             fused_seg = None
             if (seg is not None and seg[3] is not None
-                    and self.aggr == "add" and not self.bn_mlp
+                    and self.aggr == "add"
+                    and (not self.bn_mlp or seg[4] == "slab")
                     and len(self.d_h) <= 1
                     and self.activation_mlp in ("relu", "identity")):
                 recv_local, chunks, block_n, send_local, mode = seg[:5]

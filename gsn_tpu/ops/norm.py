@@ -33,11 +33,18 @@ class MaskedBatchNorm(nn.Module):
     axis_name: Optional[str] = None   # cross-replica stats when set
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
-                 use_running_average: Optional[bool] = None) -> jnp.ndarray:
+    def __call__(self, x: Optional[jnp.ndarray],
+                 mask: Optional[jnp.ndarray] = None,
+                 use_running_average: Optional[bool] = None,
+                 moments: Optional[tuple] = None):
+        """Normalize ``x`` — or, when ``x is None`` and ``moments=(n,
+        sum_x, sum_x2)`` is given, run only the statistics machinery
+        (same params/batch_stats tree, same running-stat updates) and
+        return ``(mean, var, scale, bias)`` so a fused kernel can fold
+        the normalization into its affine inputs."""
         use_ra = (self.use_running_average
                   if use_running_average is None else use_running_average)
-        d = x.shape[-1]
+        d = x.shape[-1] if x is not None else moments[1].shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
         ra_mean = self.variable("batch_stats", "mean",
@@ -48,7 +55,10 @@ class MaskedBatchNorm(nn.Module):
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            if mask is None:
+            if moments is not None:
+                n, sum_x, sum_x2 = moments
+                n = jnp.asarray(n, jnp.float32)
+            elif mask is None:
                 n = jnp.asarray(x.shape[0], jnp.float32)
                 sum_x = jnp.sum(x, axis=0)
                 sum_x2 = jnp.sum(jnp.square(x), axis=0)
@@ -71,5 +81,7 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = ((1 - self.momentum) * ra_var.value
                                 + self.momentum * unbiased)
 
+        if x is None:
+            return mean, var, scale, bias
         y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
         return y * scale + bias

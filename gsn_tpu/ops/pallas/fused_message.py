@@ -81,8 +81,10 @@ def _onehots(recv_ref, send_ref, block_n):
 
 def _compute_h(oh_r, oh_s, a_ref, b0, b1, b2, pe_ref, bias_ref, has_pe):
     b_win = jnp.concatenate([b0[...], b1[...], b2[...]], 0)
-    h = (jnp.dot(oh_r, a_ref[...], preferred_element_type=jnp.float32)
-         + jnp.dot(oh_s, b_win, preferred_element_type=jnp.float32))
+    h = (jnp.dot(oh_r, a_ref[...], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)
+         + jnp.dot(oh_s, b_win, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH))
     if has_pe:
         h = h + pe_ref[...]
     return h + bias_ref[...]
@@ -100,7 +102,8 @@ def _fwd_kernel(nb_ref, first_ref, wf_ref, recv_ref, send_ref, pe_ref,
         h = jnp.maximum(h, 0.0)
     contrib = jax.lax.dot_general(
         oh_r, h, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)
 
     @pl.when(is_first)
     def _():
@@ -116,7 +119,8 @@ def _bwd_kernel(nb_ref, first_ref, wf_ref, recv_ref, send_ref, pe_ref,
                 dh_ref, *, block_n, act, has_pe):
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
     # per-edge cotangent: dAgg gathered at receivers
-    g_e = jnp.dot(oh_r, g_ref[...], preferred_element_type=jnp.float32)
+    g_e = jnp.dot(oh_r, g_ref[...], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)
     if act == "relu":
         h = _compute_h(oh_r, oh_s, a_ref, b0_ref, b1_ref, b2_ref, pe_ref,
                        bias_ref, has_pe)

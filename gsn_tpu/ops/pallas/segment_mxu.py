@@ -135,7 +135,8 @@ def _fwd_kernel(chunk_nb_ref, chunk_first_ref, recv_ref, msg_ref,
     contrib = jax.lax.dot_general(
         onehot, msg_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)
 
     @pl.when(first)
     def _():
@@ -155,7 +156,8 @@ def _bwd_kernel(chunk_nb_ref, chunk_first_ref, recv_ref, g_ref,
     dmsg_ref[...] = jax.lax.dot_general(
         onehot, g_ref[...],
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)
 
 
 def _call_fwd(msgs_layout, recv_local, chunk_nb, chunk_first,

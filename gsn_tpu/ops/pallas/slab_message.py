@@ -107,11 +107,20 @@ def _onehots(recv_ref, send_ref, block_n):
     return oh_r, oh_s
 
 
+# Precision.HIGH (3-pass bf16) everywhere a one-hot multiplies real
+# f32 data: the one-hot operand is exact in bf16, so hi+lo passes
+# reconstruct the f32 operand exactly — DEFAULT (1-pass) would round
+# activations/gradients to bf16 (~4e-3 relative error per layer).
+_PREC = jax.lax.Precision.HIGH
+
+
 def _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe):
     a_span = jnp.concatenate([r[...] for r in a_refs], 0)
     b_win = jnp.concatenate([r[...] for r in b_refs], 0)
-    h = (jnp.dot(oh_r, a_span, preferred_element_type=jnp.float32)
-         + jnp.dot(oh_s, b_win, preferred_element_type=jnp.float32))
+    h = (jnp.dot(oh_r, a_span, preferred_element_type=jnp.float32,
+                 precision=_PREC)
+         + jnp.dot(oh_s, b_win, preferred_element_type=jnp.float32,
+                   precision=_PREC))
     if has_pe:
         h = h + pe_ref[...]
     return h + bias_ref[...]
@@ -125,9 +134,13 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
            has_pe)
     if act == "relu":
         h = jnp.maximum(h, 0.0)
+    elif act == "id_sq":
+        # joint [H, H^2] aggregation: one call yields both first and
+        # second masked moments of the pre-activation (for fused BN)
+        h = jnp.concatenate([h, h * h], axis=1)
     slab_ref[...] = jax.lax.dot_general(
         oh_r, h, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[None]
+        preferred_element_type=jnp.float32, precision=_PREC)[None]
 
 
 def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
@@ -135,19 +148,24 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
                 dh_ref, da_slab_ref, db_slab_ref,
                 *, block_n, act, has_pe):
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
-    g_span = jnp.concatenate([g0[...], g1[...]], 0)       # [2Bn, d]
-    g_e = jnp.dot(oh_r, g_span, preferred_element_type=jnp.float32)
-    if act == "relu":
+    g_span = jnp.concatenate([g0[...], g1[...]], 0)   # [2Bn, d or 2d]
+    g_e = jnp.dot(oh_r, g_span, preferred_element_type=jnp.float32,
+                  precision=_PREC)
+    if act in ("relu", "id_sq"):
         h = _h(oh_r, oh_s, (a0, a1), (b0, b1, b2, b3), pe_ref, bias_ref,
                has_pe)
-        g_e = jnp.where(h > 0, g_e, 0.0)
+        if act == "relu":
+            g_e = jnp.where(h > 0, g_e, 0.0)
+        else:
+            d1 = h.shape[1]
+            g_e = g_e[:, :d1] + 2.0 * h * g_e[:, d1:]
     dh_ref[...] = g_e
     da_slab_ref[...] = jax.lax.dot_general(
         oh_r, g_e, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[None]
+        preferred_element_type=jnp.float32, precision=_PREC)[None]
     db_slab_ref[...] = jax.lax.dot_general(
         oh_s, g_e, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[None]
+        preferred_element_type=jnp.float32, precision=_PREC)[None]
 
 
 def _specs(block_e, block_n, d1):
@@ -183,9 +201,12 @@ def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d):
     assign = (ids[None, :]
               == jnp.arange(num_blocks, dtype=ids.dtype)[:, None]
               ).astype(rows.dtype)
+    # HIGHEST: keep the slab partials exact f32 (default TPU precision
+    # would round them to bf16 before the reduction)
     out = jax.lax.dot_general(
         assign, rows, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=rows.dtype)
+        preferred_element_type=rows.dtype,
+        precision=_PREC)
     return out.reshape(num_blocks * block_n, d)
 
 
@@ -214,6 +235,7 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
                    num_nodes, block_n, block_e, act, interpret):
     C = fb_wf.shape[1]
     d1 = A.shape[1]
+    od = 2 * d1 if act == "id_sq" else d1   # joint [H, H^2] slabs
     num_blocks = num_nodes // block_n
     has_pe = Pe is not None
     Pe_arr = (Pe.astype(jnp.float32) if has_pe
@@ -225,21 +247,21 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
         num_scalar_prefetch=2,   # fb, wf
         grid=(C,),
         in_specs=_specs(block_e, block_n, d1),
-        out_specs=pl.BlockSpec((1, S_R * block_n, d1),
+        out_specs=pl.BlockSpec((1, S_R * block_n, od),
                                lambda t, fb, wf: (t, 0, 0)),
     )
     slabs = pl.pallas_call(
         functools.partial(_fwd_kernel, block_n=block_n, act=act,
                           has_pe=has_pe),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((C, S_R * block_n, d1),
+        out_shape=jax.ShapeDtypeStruct((C, S_R * block_n, od),
                                        jnp.float32),
         interpret=interpret,
     )(fb_wf[0], fb_wf[1],
       recv_local.reshape(C, 1, block_e), send_local.reshape(C, 1, block_e),
       Pe_arr, A, A, B, B, B, B,
       b1.reshape(1, d1).astype(jnp.float32))
-    out = _combine_slabs(slabs, fb_wf[0], S_R, num_blocks, block_n, d1)
+    out = _combine_slabs(slabs, fb_wf[0], S_R, num_blocks, block_n, od)
     return out, None
 
 
@@ -256,6 +278,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
     A, B, Pe, b1, recv_local, send_local, fb_wf = res
     C = fb_wf.shape[1]
     d1 = A.shape[1]
+    od = 2 * d1 if act == "id_sq" else d1   # incoming cotangent width
     num_blocks = num_nodes // block_n
     Pe_arr = (Pe.astype(jnp.float32) if has_pe
               else jnp.zeros((C * block_e, d1), jnp.float32))
@@ -268,8 +291,8 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
         num_scalar_prefetch=2,
         grid=(C,),
         in_specs=_specs(block_e, block_n, d1) + [
-            pl.BlockSpec((block_n, d1), lambda t, fb, wf: (fb[t], 0)),
-            pl.BlockSpec((block_n, d1), lambda t, fb, wf: (fb[t] + 1, 0)),
+            pl.BlockSpec((block_n, od), lambda t, fb, wf: (fb[t], 0)),
+            pl.BlockSpec((block_n, od), lambda t, fb, wf: (fb[t] + 1, 0)),
         ],
         out_specs=[
             pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),

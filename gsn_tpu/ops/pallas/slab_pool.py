@@ -66,6 +66,9 @@ def build_pool_metadata(batch: np.ndarray, node_mask: np.ndarray,
             "block_e": block_e, "num_blocks": num_blocks}
 
 
+_PREC = jax.lax.Precision.HIGH   # exact for one-hot x f32 (see slab_message)
+
+
 def _onehot(recv_ref, block_g):
     recv = recv_ref[...].reshape(-1, 1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32,
@@ -77,14 +80,15 @@ def _pool_fwd_kernel(fb_ref, recv_ref, x_ref, slab_ref, *, block_g):
     oh = _onehot(recv_ref, block_g)
     slab_ref[...] = jax.lax.dot_general(
         oh, x_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[None]
+        preferred_element_type=jnp.float32, precision=_PREC)[None]
 
 
 def _pool_bwd_kernel(fb_ref, recv_ref, g0, g1, dx_ref, *, block_g):
     oh = _onehot(recv_ref, block_g)
     g_span = jnp.concatenate([g0[...], g1[...]], 0)
     dx_ref[...] = jnp.dot(oh, g_span,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=_PREC)
 
 
 def _combine(slabs, fb, num_blocks, block_g, d):
@@ -97,7 +101,8 @@ def _combine(slabs, fb, num_blocks, block_g, d):
               ).astype(rows.dtype)
     out = jax.lax.dot_general(
         assign, rows, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=rows.dtype)
+        preferred_element_type=rows.dtype,
+        precision=_PREC)
     return out.reshape(num_blocks * block_g, d)
 
 

@@ -277,3 +277,55 @@ def test_slab_mode_gin_local_scope():
     out_plain = np.asarray(model.apply(variables, plain, train=False))
     out_slab = np.asarray(model.apply(variables, slab, train=False))
     np.testing.assert_allclose(out_slab, out_plain, rtol=2e-4, atol=2e-5)
+
+
+def test_slab_mode_bn_mlp_fused(prepared):
+    """bn_mlp=True (BN inside the message MLP — the reference default,
+    main.py:608) rides the fused slab path via the [H, H^2] moments
+    pass; forward, batch_stats updates, and substantive gradients must
+    match the unfused plain path."""
+    graphs, d_id = prepared
+    cfg = GSNConfig(
+        model_name="GSN_sparse", num_layers=2, d_out=16, out_features=2,
+        msg_kind="general", id_scope="global", bn=True, bn_mlp=True,
+        activation_mlp="relu", in_features=1, d_in_id=d_id).finalize()
+    model = build_model(cfg)
+
+    caps = (256, 512, 24)
+    plain = next(iterate_batches(graphs, 24, caps=caps))
+    slab = next(iterate_batches(graphs, 24, caps=caps, mxu_layout=SLAB))
+    assert slab.seg_mode == "slab"
+
+    variables = model.init(jax.random.PRNGKey(0), plain, train=False)
+    out_plain = np.asarray(model.apply(variables, plain, train=False))
+    out_slab = np.asarray(model.apply(variables, slab, train=False))
+    np.testing.assert_allclose(out_slab, out_plain, rtol=2e-4, atol=2e-5)
+
+    # train mode: outputs + running-stat updates
+    o_p, m_p = model.apply(variables, plain, train=True,
+                           mutable=["batch_stats"])
+    o_s, m_s = model.apply(variables, slab, train=True,
+                           mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_p),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(m_s),
+                    jax.tree_util.tree_leaves(m_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def loss(params, data):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            data, train=True, mutable=["batch_stats"])
+        return ((out ** 2) * data.graph_mask[:, None]).sum()
+
+    g_plain = jax.grad(loss)(variables["params"], plain)
+    g_slab = jax.grad(loss)(variables["params"], slab)
+    # absolute tolerance against the global gradient scale: BN shift
+    # invariance makes pre-BN bias grads pure cancellation noise
+    scale = max(float(np.max(np.abs(np.asarray(x))))
+                for x in jax.tree_util.tree_leaves(g_plain))
+    for a, b in zip(jax.tree_util.tree_leaves(g_slab),
+                    jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4 * scale)
