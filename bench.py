@@ -5,14 +5,21 @@ vertex-scope cycle ids, edge features, d=128, 4 layers) in one large
 padded batch, full forward+backward+Adam per step.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no throughput numbers (SURVEY §6); vs_baseline
-is left at 1.0 until a recorded baseline exists.
+The reference publishes no throughput numbers (SURVEY §6), so
+`vs_baseline` is the measured speedup of the best path over this
+framework's own plain-XLA (no Pallas) train step on the same
+workload/chip — measured live in the same run, not a recorded constant.
+
+If the Pallas kernel path fails for any reason (e.g. a Mosaic lowering
+regression), the failure is logged to stderr and the plain-XLA figure is
+reported with vs_baseline=1.0 — the bench always exits 0 with a number.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -70,7 +77,7 @@ def run_variant(trainer, data, iters):
     return time.perf_counter() - t0
 
 
-def main(full: bool = False):
+def main():
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -97,35 +104,44 @@ def main(full: bool = False):
     trainer = Trainer(cfg, tcfg, graphs)
     caps = tight_epoch_caps(np.arange(len(graphs)), graphs, BATCH_GRAPHS)
 
-    data_mxu = next(iterate_batches(
-        graphs, BATCH_GRAPHS, caps=caps, y_shape=(), y_dtype=np.float32,
-        mxu_layout={"mode": "slab", "flow": "source_to_target",
-                    "block_n": 128, "block_e": 256}))
-    real_edges = int(np.asarray(data_mxu.edge_mask).sum())
+    # plain-XLA path: the live-measured baseline (and the fallback)
+    data_plain = next(iterate_batches(
+        graphs, BATCH_GRAPHS, caps=caps, y_shape=(), y_dtype=np.float32))
+    real_edges = int(np.asarray(data_plain.edge_mask).sum())
+    dt_plain = run_variant(trainer, data_plain, ITERS)
+    plain_eps = real_edges * ITERS / dt_plain
 
-    # measured plain-XLA (no Pallas) figure on the same workload/chip
-    # (PERFORMANCE.md): the framework's own non-kernel baseline
-    PLAIN_XLA_EDGES_PER_S = 2.89e6
-
-    dt_mxu = run_variant(trainer, data_mxu, ITERS)
-    dt = dt_mxu
-    vs = round(real_edges * ITERS / dt_mxu / PLAIN_XLA_EDGES_PER_S, 3)
-    if full:
-        data_plain = next(iterate_batches(
+    # Pallas slab-kernel path; any failure degrades to the plain figure
+    mxu_eps = None
+    try:
+        data_mxu = next(iterate_batches(
             graphs, BATCH_GRAPHS, caps=caps, y_shape=(),
-            y_dtype=np.float32))
-        dt_plain = run_variant(trainer, data_plain, ITERS)
-        dt = min(dt_plain, dt_mxu)
-        vs = round(dt_plain / dt_mxu, 3)
+            y_dtype=np.float32,
+            mxu_layout={"mode": "slab", "flow": "source_to_target",
+                        "block_n": 128, "block_e": 256}))
+        dt_mxu = run_variant(trainer, data_mxu, ITERS)
+        mxu_eps = real_edges * ITERS / dt_mxu
+    except Exception:
+        print("[bench] Pallas kernel path FAILED; reporting plain-XLA "
+              "fallback figure.", file=sys.stderr)
+        traceback.print_exc()
 
-    edges_per_s = real_edges * ITERS / dt
+    if mxu_eps is not None and mxu_eps > plain_eps:
+        value, vs = mxu_eps, mxu_eps / plain_eps
+    else:
+        value, vs = plain_eps, 1.0
+        if mxu_eps is not None:
+            print(f"[bench] kernel path slower than plain XLA "
+                  f"({mxu_eps:.3e} vs {plain_eps:.3e} edges/s); "
+                  "reporting plain figure.", file=sys.stderr)
+
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip",
-        "value": round(edges_per_s, 1),
+        "value": round(value, 1),
         "unit": "edges/s",
-        "vs_baseline": vs,
+        "vs_baseline": round(vs, 3),
     }))
 
 
 if __name__ == "__main__":
-    main(full="--full" in sys.argv)
+    main()

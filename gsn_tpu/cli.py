@@ -27,6 +27,7 @@ from .data.splits import separate_data, separate_data_given_split
 from .graphs.batching import iterate_batches
 from .train.checkpoint import load_checkpoint
 from .train.isomorphism import run_isomorphism_test
+from .train.logging import RunLogger
 from .train.loop import Trainer, TrainerConfig
 
 
@@ -42,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--onesplit", type=parse.str2bool, default=False)
     a("--multiprocessing", type=parse.str2bool, default=False)
     a("--num_processes", type=int, default=8)
+    # loader knobs (reference main.py:519-520): accepted for
+    # compatibility; batching here is host-side numpy, no worker pool
+    a("--num_workers", type=int, default=0)
+    a("--num_threads", type=int, default=1)
     # dataset (main.py:525-528)
     a("--dataset", type=str, default="bioinformatics")
     a("--dataset_name", type=str, default="MUTAG")
@@ -70,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
     # encodings (main.py:563-584)
     a("--id_encoding", type=str, default="one_hot_unique")
     a("--degree_encoding", type=str, default="one_hot_unique")
+    # binning-encoder knobs (reference main.py:568-573): accepted for
+    # command-line compatibility but inert — the binning encoders are
+    # commented out in the reference too (utils_encoding.py:73-140)
+    a("--id_bins", type=parse.str2list2int, default=None)
+    a("--degree_bins", type=parse.str2list2int, default=None)
+    a("--id_strategy", type=str, default="uniform")
+    a("--degree_strategy", type=str, default="uniform")
+    a("--id_range", type=parse.str2list2int, default=None)
+    a("--degree_range", type=parse.str2list2int, default=None)
     a("--id_embedding", type=str, default="one_hot_encoder")
     a("--d_out_id_embedding", type=int, default=None)
     a("--degree_embedding", type=str, default="one_hot_encoder")
@@ -127,6 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
     a("--checkpoint_file", type=str, default="checkpoint")
     a("--mode", type=str, default="train")
     a("--resume", type=parse.str2bool, default=False)
+    a("--device_idx", type=int, default=0,
+      help="reference main.py:668; selects among jax.devices() when >0")
+    # experiment logging (reference main.py:669-672); the sink degrades
+    # to JSONL when the wandb package is unavailable (train/logging.py)
+    a("--wandb", type=parse.str2bool, default=True)
+    a("--wandb_realtime", type=parse.str2bool, default=False)
+    a("--wandb_project", type=str, default="gsn_project")
+    a("--wandb_entity", type=str, default="anonymous")
     a("--isomorphism_eps", type=float, default=1e-2)
     a("--return_scores", action="store_true")
     a("--use_mxu", type=parse.str2bool, default=False,
@@ -298,8 +320,24 @@ def main(args: Dict):
         if args["resume"] and os.path.exists(ckpt):
             state, _ = load_checkpoint(ckpt, state, trainer.scheduler)
 
+        # per-fold run logger (reference wandb realtime logging at
+        # train_test_funcs.py:150-159; JSONL fallback without wandb)
+        logger = RunLogger(
+            run_dir=os.path.dirname(ckpt_dir),
+            use_wandb=args.get("wandb", False),
+            realtime=args.get("wandb_realtime", False),
+            project=args.get("wandb_project", "gsn_project"),
+            entity=args.get("wandb_entity", None),
+            config=args)
         state, hist = trainer.fit(state, train, test, graphs_val=val,
-                                  checkpoint_file=ckpt)
+                                  checkpoint_file=ckpt, logger=logger)
+        if hist["test_accs"]:
+            fold_perf = perf_opt(hist["test_accs"])
+            logger.set_summary(
+                last_test_acc=hist["test_accs"][-1],
+                best_test_acc=hist["test_accs"][int(fold_perf)],
+                best_epoch=int(fold_perf) * args["eval_frequency"])
+        logger.close()
         results.append(hist)
 
     if args["mode"] == "test":

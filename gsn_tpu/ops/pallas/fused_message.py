@@ -82,9 +82,9 @@ def _onehots(recv_ref, send_ref, block_n):
 def _compute_h(oh_r, oh_s, a_ref, b0, b1, b2, pe_ref, bias_ref, has_pe):
     b_win = jnp.concatenate([b0[...], b1[...], b2[...]], 0)
     h = (jnp.dot(oh_r, a_ref[...], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH)
+        precision=jax.lax.Precision.HIGHEST)
          + jnp.dot(oh_s, b_win, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH))
+        precision=jax.lax.Precision.HIGHEST))
     if has_pe:
         h = h + pe_ref[...]
     return h + bias_ref[...]
@@ -103,7 +103,7 @@ def _fwd_kernel(nb_ref, first_ref, wf_ref, recv_ref, send_ref, pe_ref,
     contrib = jax.lax.dot_general(
         oh_r, h, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH)
+        precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(is_first)
     def _():
@@ -120,7 +120,7 @@ def _bwd_kernel(nb_ref, first_ref, wf_ref, recv_ref, send_ref, pe_ref,
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
     # per-edge cotangent: dAgg gathered at receivers
     g_e = jnp.dot(oh_r, g_ref[...], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH)
+        precision=jax.lax.Precision.HIGHEST)
     if act == "relu":
         h = _compute_h(oh_r, oh_s, a_ref, b0_ref, b1_ref, b2_ref, pe_ref,
                        bias_ref, has_pe)

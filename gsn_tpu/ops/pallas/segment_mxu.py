@@ -136,7 +136,7 @@ def _fwd_kernel(chunk_nb_ref, chunk_first_ref, recv_ref, msg_ref,
         onehot, msg_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH)
+        precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(first)
     def _():
@@ -157,7 +157,7 @@ def _bwd_kernel(chunk_nb_ref, chunk_first_ref, recv_ref, g_ref,
         onehot, g_ref[...],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH)
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _call_fwd(msgs_layout, recv_local, chunk_nb, chunk_first,

@@ -107,11 +107,11 @@ def _onehots(recv_ref, send_ref, block_n):
     return oh_r, oh_s
 
 
-# Precision.HIGH (3-pass bf16) everywhere a one-hot multiplies real
-# f32 data: the one-hot operand is exact in bf16, so hi+lo passes
-# reconstruct the f32 operand exactly — DEFAULT (1-pass) would round
+# Precision.HIGHEST (Mosaic lowers it to fp32 contract precision — the
+# only non-default precision Mosaic's dot lowering accepts) everywhere a
+# one-hot multiplies real f32 data: DEFAULT (1-pass bf16) would round
 # activations/gradients to bf16 (~4e-3 relative error per layer).
-_PREC = jax.lax.Precision.HIGH
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe):

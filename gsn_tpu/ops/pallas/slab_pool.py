@@ -66,7 +66,7 @@ def build_pool_metadata(batch: np.ndarray, node_mask: np.ndarray,
             "block_e": block_e, "num_blocks": num_blocks}
 
 
-_PREC = jax.lax.Precision.HIGH   # exact for one-hot x f32 (see slab_message)
+_PREC = jax.lax.Precision.HIGHEST   # exact for one-hot x f32 (see slab_message)
 
 
 def _onehot(recv_ref, block_g):

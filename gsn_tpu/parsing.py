@@ -25,6 +25,21 @@ def str2list2bool(v):
     return [str2bool(x) for x in str(v).split(",")]
 
 
+def str2list2float(v):
+    """Reference ``utils_parsing.py:24-25``."""
+    if v is None or v == "None":
+        return None
+    return [float(x) for x in str(v).split(",")]
+
+
+def str2ListOfLists2int(v):
+    """',' separates ints within a list, ',,' separates lists
+    (reference ``utils_parsing.py:16-17``)."""
+    if v is None or v == "None":
+        return None
+    return [[int(x) for x in li.split(",")] for li in str(v).split(",,")]
+
+
 def str2ListOfListsOfLists2int(v):
     """Custom edge-list grammar: ',' separates ints within an edge, ',,'
     separates edges, ',,,' separates substructures (reference

@@ -5,7 +5,10 @@ wandb (``main.py:61-64,400-459``; ``train_test_funcs.py:150-159``).
 wandb isn't available in this image, so the default sink is a JSONL file
 per run (one line per logged step plus a final summary line) with the
 same keys; a wandb sink activates automatically when the package is
-importable and ``use_wandb=True``.
+importable and ``use_wandb=True``.  ``realtime`` mirrors the reference's
+``--wandb_realtime``: when off, per-step records are buffered and
+flushed to wandb at close (reference main.py:400-428); JSONL always
+writes immediately.
 """
 
 from __future__ import annotations
@@ -13,15 +16,18 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 
 class RunLogger:
     def __init__(self, run_dir: Optional[str] = None,
                  use_wandb: bool = False, project: str = "gsn_tpu",
+                 entity: Optional[str] = None, realtime: bool = True,
                  config: Optional[Dict[str, Any]] = None):
         self.run_dir = run_dir
+        self.realtime = realtime
         self._fh = None
+        self._buffer: List[Tuple[Dict[str, Any], Optional[int]]] = []
         if run_dir:
             os.makedirs(run_dir, exist_ok=True)
             self._fh = open(os.path.join(run_dir, "log.jsonl"), "a")
@@ -32,10 +38,10 @@ class RunLogger:
         if use_wandb:
             try:
                 import wandb
+                wandb.init(project=project, entity=entity, config=config)
                 self._wandb = wandb
-                wandb.init(project=project, config=config)
-            except ImportError:
-                pass
+            except Exception:
+                pass   # degrade to JSONL-only (wandb absent / no network)
         self.summary: Dict[str, Any] = {}
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
@@ -46,7 +52,10 @@ class RunLogger:
             self._fh.write(json.dumps(rec, default=float) + "\n")
             self._fh.flush()
         if self._wandb:
-            self._wandb.log(metrics, step=step)
+            if self.realtime:
+                self._wandb.log(metrics, step=step)
+            else:
+                self._buffer.append((metrics, step))
 
     def set_summary(self, **kv):
         self.summary.update(kv)
@@ -61,4 +70,7 @@ class RunLogger:
             self._fh.close()
             self._fh = None
         if self._wandb:
+            for metrics, step in self._buffer:
+                self._wandb.log(metrics, step=step)
+            self._buffer.clear()
             self._wandb.finish()

@@ -80,3 +80,28 @@ def test_cli_train_then_test_mode(tmp_path):
     out = run_cli(["--mode", "test"], tmp_path)
     assert out[0]["test_acc"] == pytest.approx(
         results[0]["test_accs"][-1], abs=1e-6)
+
+
+def test_all_reference_readme_commands_parse():
+    """Every `python main.py ...` command line in the reference README
+    must parse with our flag surface (VERDICT r1 gap: wandb quartet,
+    id/degree binning knobs, device_idx)."""
+    import shlex
+
+    with open("/root/reference/README.md") as f:
+        lines = [li.strip() for li in f
+                 if li.strip().startswith("python main.py")]
+    assert len(lines) >= 4
+    parser = build_parser()
+    for line in lines:
+        argv = shlex.split(line)[2:]   # drop "python main.py"
+        args = vars(parser.parse_args(argv))
+        assert "mode" in args
+
+
+def test_new_parser_types():
+    from gsn_tpu.parsing import str2list2float, str2ListOfLists2int
+
+    assert str2list2float("1.5,2") == [1.5, 2.0]
+    assert str2ListOfLists2int("1,2,,3,4,5") == [[1, 2], [3, 4, 5]]
+    assert str2list2float(None) is None
