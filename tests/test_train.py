@@ -140,3 +140,37 @@ def test_f1_and_mae():
     assert abs(binary_f1_score(yt, yp) - 2 / 3) < 1e-9
     assert binary_f1_score(np.zeros(3), np.zeros(3)) == 0.0
     assert abs(mean_absolute_error([1.0, 2.0], [1.5, 1.0]) - 0.75) < 1e-9
+
+
+def test_scan_epochs_match_loop(synthetic_prepared):
+    """One-dispatch scanned epochs must be numerically identical to the
+    per-batch dispatch loop (same batches, same rng draws, same Adam
+    trajectory)."""
+    import jax
+
+    graphs, d_id = synthetic_prepared
+    train = graphs[:48]
+    cfg = GSNConfig(
+        model_name="GSN_sparse", num_layers=2, d_out=16, out_features=2,
+        msg_kind="general", id_scope="global", bn=True, bn_mlp=False,
+        readout="sum", in_features=1, d_in_id=d_id)
+
+    states = []
+    for scan in (True, False):
+        tcfg = TrainerConfig(lr=0.01, batch_size=16, num_epochs=3,
+                             scheduler="None", seed=3, scan_epochs=scan)
+        trainer = Trainer(cfg, tcfg, train)
+        data = next(iterate_batches(train, 16, caps=trainer.caps))
+        state = trainer.init_state(data, seed=0)
+        for _ in range(3):
+            state, _ = trainer.train_epoch(state, train)
+        loss, acc = trainer.evaluate(state, train)
+        states.append((state, loss, acc))
+
+    (s_scan, l_scan, a_scan), (s_loop, l_loop, a_loop) = states
+    for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
+                    jax.tree_util.tree_leaves(s_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    assert l_scan == pytest.approx(l_loop, rel=1e-6)
+    assert a_scan == pytest.approx(a_loop, rel=1e-6)
