@@ -68,6 +68,16 @@ class GraphBatch:
     pool_counts: Optional[jnp.ndarray] = None
     pool_block_g: Optional[int] = struct.field(pytree_node=False,
                                                default=None)
+    # edge-partitioned execution (gsn_tpu.parallel.ep): when set, this
+    # batch is one shard of a node-block-partitioned global batch running
+    # under shard_map over mesh axis ``ep_axis``:
+    # - node-level arrays hold this device's node block only;
+    # - ``edge_index[0]`` is the receiver as a block-LOCAL row id,
+    #   ``edge_index[1]`` the sender as a GLOBAL node id (the partitioner
+    #   already applied ``flow``);
+    # - graph-level arrays are replicated; pooling psums partial
+    #   per-graph sums over the axis.
+    ep_axis: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_node_slots(self) -> int:

@@ -63,6 +63,12 @@ class EdgeMessageMLP(nn.Module):
     batch_norm: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # edge-partitioned shard_map execution: node-side projections are
+    # computed on the local node block, then the (narrow, d_hidden-wide)
+    # send-side projection is all-gathered over the axis so global sender
+    # ids resolve — this is the "project before exchange" layout from
+    # parallel/edge_partition.py (bytes = N * d_hidden * 4 per layer)
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, node_parts, edge_parts, recv, send,
@@ -204,6 +210,8 @@ class EdgeMessageMLP(nn.Module):
         if A is not None:
             h = A[recv]
         if B is not None:
+            if self.ep_axis is not None:
+                B = jax.lax.all_gather(B, self.ep_axis, axis=0, tiled=True)
             h = B[send] if h is None else h + B[send]
         if pe is not None:
             h = pe if h is None else h + pe
@@ -254,6 +262,11 @@ class GSNLayer(nn.Module):
     extend_dims: bool = True
     axis_name: str = None
     compute_dtype: str = None   # 'bfloat16' for reduced-precision matmuls
+    # edge-partitioned shard_map execution (parallel/ep.py): node arrays
+    # are this device's block, edge_index[0] is the block-local receiver,
+    # edge_index[1] the GLOBAL sender (flow already applied by the
+    # partitioner); sender-side node features resolve via all-gather
+    ep_axis: str = None
 
     @nn.compact
     def __call__(
@@ -273,11 +286,28 @@ class GSNLayer(nn.Module):
             x = jnp.concatenate([x, deg], -1) if self.retain_features else deg
 
         n_nodes = x.shape[0]
-        select = 0 if self.flow == "target_to_source" else 1
+        if self.ep_axis is not None:
+            # partitioner convention: row 0 = local receiver, row 1 =
+            # global sender, flow already applied
+            select = 0
+        else:
+            select = 0 if self.flow == "target_to_source" else 1
         recv = edge_index[select]
         send = edge_index[1 - select]
-        x_i = x[recv]
-        x_j = x[send]
+
+        def _full(arr):
+            """Sender-side node array: all shards under edge partitioning
+            (global sender ids), identity otherwise."""
+            if self.ep_axis is None:
+                return arr
+            return jax.lax.all_gather(arr, self.ep_axis, axis=0,
+                                      tiled=True)
+
+        # x_i/x_j are consumed only by the gin/ogb per-edge paths; the
+        # general kind projects at node level (EdgeMessageMLP) instead
+        x_j = None
+        if self.msg_kind in ("gin", "ogb"):
+            x_j = _full(x)[send]
 
         ids_edge = ids_i = ids_j = None
         if self.use_ids:
@@ -285,7 +315,8 @@ class GSNLayer(nn.Module):
                 ids_edge = identifiers.astype(jnp.float32)
             else:
                 idf = identifiers.astype(jnp.float32)
-                ids_i, ids_j = idf[recv], idf[send]
+                if self.msg_kind in ("gin", "ogb"):
+                    ids_j = _full(idf)[send]
 
         ef = edge_features
 
@@ -317,7 +348,8 @@ class GSNLayer(nn.Module):
             out_or_msgs = EdgeMessageMLP(
                 self.d_msg if self.d_msg is not None else x.shape[-1],
                 tuple(self.d_h), self.activation_mlp, self.bn_mlp,
-                axis_name=self.axis_name, dtype=dt, name="msg_fn")(
+                axis_name=self.axis_name, dtype=dt,
+                ep_axis=self.ep_axis, name="msg_fn")(
                     node_parts, edge_parts, recv, send, edge_mask, train,
                     fused_seg=fused_seg)
             if fused_seg is not None:
@@ -341,7 +373,7 @@ class GSNLayer(nn.Module):
                 else:
                     idf = identifiers.astype(jnp.float32)
                     self_parts.append(idf)
-                    msg_parts.append(idf[send])
+                    msg_parts.append(ids_j)
             if self.use_edge_features:
                 central_ef = CentralEncoder(
                     self.edge_embedding_kind, ef.shape[-1],

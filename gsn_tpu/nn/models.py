@@ -40,7 +40,8 @@ def _make_pool(readout: str, data: GraphBatch):
                  data.pool_counts))
 
     def pool(x, batch, num_graphs, node_mask):
-        return fn(x, batch, num_graphs, node_mask, pool_seg=seg)
+        return fn(x, batch, num_graphs, node_mask, pool_seg=seg,
+                  axis_name=data.ep_axis)
 
     return pool
 
@@ -130,7 +131,7 @@ class GNNSubstructures(nn.Module):
                 id_embedding_kind=c.id_embedding,
                 edge_embedding_kind=c.edge_encoder,
                 extend_dims=c.extend_dims, axis_name=c.bn_axis_name,
-                compute_dtype=c.compute_dtype,
+                compute_dtype=c.compute_dtype, ep_axis=data.ep_axis,
                 name=f"conv_{i}")(
                     x, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None
@@ -245,7 +246,7 @@ class GNN_OGB(nn.Module):
                 id_embedding_kind=c.id_embedding,
                 edge_embedding_kind=c.edge_encoder,
                 extend_dims=c.extend_dims, axis_name=c.bn_axis_name,
-                compute_dtype=c.compute_dtype,
+                compute_dtype=c.compute_dtype, ep_axis=data.ep_axis,
                 name=f"conv_{i}")(
                     h, data.edge_index, ids_i, degrees, ef_i, nm, em, train,
                     seg=(None if data.seg_recv_local is None

@@ -78,27 +78,46 @@ def _slab_pool_sum(x, num_graphs, pool_seg):
 
 def global_add_pool(x: jnp.ndarray, batch: jnp.ndarray, num_graphs: int,
                     node_mask: Optional[jnp.ndarray] = None,
-                    pool_seg=None) -> jnp.ndarray:
+                    pool_seg=None, axis_name: Optional[str] = None
+                    ) -> jnp.ndarray:
     """Per-graph sum readout (reference global_add_pool_sparse).
 
     ``pool_seg`` = (recv_local, fb, block_g, counts) host-built metadata
     routes through the Pallas one-hot MXU kernel (padding nodes carry
-    recv_local == -1, so no mask multiply is needed)."""
+    recv_local == -1, so no mask multiply is needed).
+
+    ``axis_name``: under edge-partitioned shard_map, each device holds a
+    node block; partial per-graph sums are psum'd over the axis so every
+    device returns the full (replicated) readout."""
     if pool_seg is not None:
         return _slab_pool_sum(x, num_graphs, pool_seg)
-    return masked_segment_sum(x, batch, num_graphs, node_mask,
-                              indices_are_sorted=True)
+    out = masked_segment_sum(x, batch, num_graphs, node_mask,
+                             indices_are_sorted=True)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def global_mean_pool(x: jnp.ndarray, batch: jnp.ndarray, num_graphs: int,
                      node_mask: Optional[jnp.ndarray] = None,
-                     pool_seg=None) -> jnp.ndarray:
+                     pool_seg=None, axis_name: Optional[str] = None
+                     ) -> jnp.ndarray:
     """Per-graph mean readout with empty-graph zero-guard (reference
     global_mean_pool_sparse, ``utils_graph_learning.py:32-41``)."""
     if pool_seg is not None:
         total = _slab_pool_sum(x, num_graphs, pool_seg)
         counts = pool_seg[3][:num_graphs]
         denom = jnp.where(counts == 0, 1.0, counts)
+        return total / denom[:, None]
+    if axis_name is not None:
+        total = masked_segment_sum(x, batch, num_graphs, node_mask,
+                                   indices_are_sorted=True)
+        total = jax.lax.psum(total, axis_name)
+        ones = jnp.ones(x.shape[0], dtype=x.dtype)
+        counts = masked_segment_sum(ones, batch, num_graphs, node_mask,
+                                    indices_are_sorted=True)
+        counts = jax.lax.psum(counts, axis_name)
+        denom = jnp.where(counts == 0, jnp.ones_like(counts), counts)
         return total / denom[:, None]
     return masked_segment_mean(x, batch, num_graphs, node_mask,
                                indices_are_sorted=True)

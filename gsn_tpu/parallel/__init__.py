@@ -1,7 +1,9 @@
 from .dp import DataParallelTrainer, make_global_batch, shard_batches
+from .ep import EdgePartitionedTrainer, make_ep_batch
 from .mesh import dp_sharded, make_mesh, replicated
 
 __all__ = [
     "DataParallelTrainer", "make_global_batch", "shard_batches",
+    "EdgePartitionedTrainer", "make_ep_batch",
     "dp_sharded", "make_mesh", "replicated",
 ]

@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--avg_degree", type=int, default=8)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--model_graphs", type=int, default=512,
+                    help="graphs in the full-model scaling workload")
+    ap.add_argument("--model_iters", type=int, default=10)
+    ap.add_argument("--skip_primitives", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="also append JSON lines to this file")
     args = ap.parse_args()
 
     if args.virtual:
@@ -54,9 +60,74 @@ def main():
         rng.randint(0, args.num_nodes, E)]).astype(np.int64)
     x = rng.randn(args.num_nodes, args.d).astype(np.float32)
 
+    records = []
+
+    def emit(rec):
+        line = json.dumps(rec)
+        print(line)
+        records.append(line)
+
     import jax.numpy as jnp
     base_rate = {}
-    for D in [d for d in (1, 2, 4, 8, 16) if d <= len(devices)]:
+    dev_counts = [d for d in (1, 2, 4, 8, 16) if d <= len(devices)]
+
+    # ---- full-model scaling: the real GSN train step, edge-partitioned
+    # (VERDICT r1 item 4: bench the workload, not a toy message) --------
+    import bench as bench_mod
+    from gsn_tpu.config import GSNConfig
+    from gsn_tpu.graphs.batching import iterate_batches, tight_epoch_caps
+    from gsn_tpu.parallel import (EdgePartitionedTrainer, make_ep_batch,
+                                  make_mesh)
+
+    graphs, d_id = bench_mod.make_zinc_like(args.model_graphs)
+    cfg = GSNConfig(
+        model_name="GSN_edge_sparse", num_layers=4, d_out=args.d,
+        out_features=1, msg_kind="general", id_scope="global",
+        bn_mlp=False, id_embedding="one_hot_encoder",
+        input_node_encoder="embedding", edge_encoder="embedding",
+        readout="sum", in_features=1, d_in_node_encoder=[28],
+        d_in_edge_encoder=[4], d_in_id=d_id)
+    caps = tight_epoch_caps(np.arange(len(graphs)), graphs,
+                            args.model_graphs)
+    lcm = max(dev_counts)
+    node_cap = ((caps[0] + lcm - 1) // lcm) * lcm
+    data = next(iterate_batches(graphs, args.model_graphs,
+                                caps=(node_cap, caps[1], caps[2]),
+                                y_shape=(), y_dtype=np.float32))
+    real_edges = int(np.asarray(data.edge_mask).sum())
+
+    model_base = None
+    for D in dev_counts:
+        mesh = make_mesh(D, axis_names=("ep",))
+        ept = EdgePartitionedTrainer(cfg, mesh, lr=1e-3, loss_fn="L1Loss")
+        ep_batch = make_ep_batch(data, D, flow=cfg.flow)
+        state = ept.init_state(ep_batch, seed=0)
+        key = jax.random.PRNGKey(0)
+        state, loss = ept.train_step(state, ep_batch, 1e-3, key)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.model_iters):
+            state, loss = ept.train_step(state, ep_batch, 1e-3, key)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / args.model_iters
+        rate = real_edges / dt
+        if D == 1:
+            model_base = rate
+        # fixed global problem size: ideal rate is flat, so efficiency
+        # is rate/base (strong scaling); on the virtual CPU mesh the
+        # devices share host cores, so treat numbers as mechanics-only
+        eff = rate / (model_base or rate)
+        emit({"variant": "full_model_train_step", "devices": D,
+              "edges_per_s": round(rate, 1),
+              "strong_scaling_speedup": round(eff, 3)})
+
+    if args.skip_primitives:
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write("\n".join(records) + "\n")
+        return
+
+    for D in dev_counts:
         mesh = Mesh(np.array(devices[:D]), ("ep",))
         for variant, part_fn, prop_fn in (
                 ("allgather", partition_edges_by_receiver,
@@ -86,10 +157,13 @@ def main():
             if D == 1:
                 base_rate[key] = rate
             eff = rate / (D * base_rate.get(key, rate))
-            print(json.dumps({
-                "variant": variant, "devices": D,
-                "edges_per_s": round(rate, 1),
-                "scaling_efficiency": round(eff, 3)}))
+            emit({"variant": variant, "devices": D,
+                  "edges_per_s": round(rate, 1),
+                  "scaling_efficiency": round(eff, 3)})
+
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write("\n".join(records) + "\n")
 
 
 if __name__ == "__main__":
