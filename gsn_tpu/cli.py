@@ -153,6 +153,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("--return_scores", action="store_true")
     a("--use_mxu", type=parse.str2bool, default=False,
       help="Pallas MXU aggregation layout (see PERFORMANCE.md)")
+    a("--caps_mode", type=str, default="worst",
+      choices=["worst", "tight"],
+      help="batch padding caps: 'worst' compiles ONE shape for the whole "
+           "run (best when dispatch/compile-bound, the common TPU case); "
+           "'tight' re-buckets per epoch (less padding on skewed data)")
     a("--device", type=str, default="default",
       help="default | cpu (force CPU; the axon sitecustomize pins "
            "JAX_PLATFORMS=axon, so env vars alone don't stick)")
@@ -217,9 +222,18 @@ def _model_config(args: Dict, num_classes, in_features, in_edge_features,
 
 def main(args: Dict):
     """Programmatic entry (mirrors reference main.main(args))."""
+    import jax
     if args.get("device") == "cpu":
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    try:
+        # persistent compile cache: repeat shapes (and repeat folds)
+        # skip the multi-minute remote compiles
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     np.random.seed(args["np_seed"])
 
     path = os.path.join(args["root_folder"], args["dataset"],
@@ -286,7 +300,8 @@ def main(args: Dict):
         evaluator=("rocauc" if (args["dataset"] == "ogb" and
                                 args["dataset_name"] != "ogbg-ppa")
                    else None),
-        seed=args["seed"], shuffle=args["shuffle"], caps_mode="tight",
+        seed=args["seed"], shuffle=args["shuffle"],
+        caps_mode=args.get("caps_mode", "worst"),
         use_mxu_segment_sum=args.get("use_mxu", False))
 
     fold_idxs = [-1] if args["onesplit"] else args["fold_idx"]

@@ -131,9 +131,17 @@ def batch_graphs(
             f"batch exceeds caps: nodes {n_tot}/{node_cap}, "
             f"edges {e_tot}/{edge_cap}, graphs {len(graphs)}/{graph_cap}")
 
+    def _slim(dt):
+        """int64 categorical/count arrays travel as int32: every integer
+        feature here is a small vocabulary index or a degree, and the
+        host->device transfer (through the remote tunnel) is a measured
+        bottleneck for epoch-scanned training."""
+        dt = np.dtype(dt)
+        return np.int32 if dt == np.int64 else dt
+
     g0 = graphs[0]
     dx = g0["x"].shape[1:] if g0["x"].ndim > 1 else ()
-    x = np.zeros((node_cap,) + dx, dtype=g0["x"].dtype)
+    x = np.zeros((node_cap,) + dx, dtype=_slim(g0["x"].dtype))
     edge_index = np.zeros((2, edge_cap), dtype=np.int32)
     batch_vec = np.zeros(node_cap, dtype=np.int32)
     node_mask = np.zeros(node_cap, dtype=bool)
@@ -141,7 +149,8 @@ def batch_graphs(
     graph_mask = np.zeros(graph_cap, dtype=bool)
 
     deg_shape = g0["degrees"].shape[1:] if g0["degrees"].ndim > 1 else ()
-    degrees = np.zeros((node_cap,) + deg_shape, dtype=g0["degrees"].dtype)
+    degrees = np.zeros((node_cap,) + deg_shape,
+                       dtype=_slim(g0["degrees"].dtype))
 
     has_ids = "identifiers" in g0 and g0["identifiers"] is not None
     has_ef = "edge_features" in g0 and g0["edge_features"] is not None
@@ -152,13 +161,14 @@ def batch_graphs(
         # ambiguous when n == e for the first graph; disambiguate via flag
         id_on_edges = bool(g0.get("ids_on_edges", id_on_edges))
         id_rows = edge_cap if id_on_edges else node_cap
-        identifiers = np.zeros((id_rows, k), dtype=g0["identifiers"].dtype)
+        identifiers = np.zeros((id_rows, k),
+                               dtype=_slim(g0["identifiers"].dtype))
     else:
         identifiers = None
     if has_ef:
         ef_shape = g0["edge_features"].shape[1:]
         edge_features = np.zeros((edge_cap,) + ef_shape,
-                                 dtype=g0["edge_features"].dtype)
+                                 dtype=_slim(g0["edge_features"].dtype))
     else:
         edge_features = None
 
@@ -235,35 +245,39 @@ def batch_graphs(
                 batch_vec[node_mask],
                 minlength=graph_cap).astype(np.float32)
 
+    # Arrays stay HOST-side numpy: one per-array device_put through the
+    # remote tunnel costs ~45 ms of latency, and a batch has ~9 arrays
+    # (a measured 12 s/epoch tax when batches were device-converted
+    # here).  jit/scan dispatch transfers each batch in ONE rpc instead.
     return GraphBatch(
-        x=jnp.asarray(x),
-        edge_index=jnp.asarray(edge_index),
-        batch=jnp.asarray(batch_vec),
-        y=jnp.asarray(y),
-        node_mask=jnp.asarray(node_mask),
-        edge_mask=jnp.asarray(edge_mask),
-        graph_mask=jnp.asarray(graph_mask),
-        degrees=jnp.asarray(degrees),
-        identifiers=jnp.asarray(identifiers) if has_ids else None,
-        edge_features=jnp.asarray(edge_features) if has_ef else None,
-        node_eig=jnp.asarray(node_eig) if has_neig else None,
-        edge_eig=jnp.asarray(edge_eig) if has_eeig else None,
-        seg_recv_local=(jnp.asarray(seg_recv_local)
+        x=np.asarray(x),
+        edge_index=np.asarray(edge_index),
+        batch=np.asarray(batch_vec),
+        y=np.asarray(y),
+        node_mask=np.asarray(node_mask),
+        edge_mask=np.asarray(edge_mask),
+        graph_mask=np.asarray(graph_mask),
+        degrees=np.asarray(degrees),
+        identifiers=np.asarray(identifiers) if has_ids else None,
+        edge_features=np.asarray(edge_features) if has_ef else None,
+        node_eig=np.asarray(node_eig) if has_neig else None,
+        edge_eig=np.asarray(edge_eig) if has_eeig else None,
+        seg_recv_local=(np.asarray(seg_recv_local)
                         if seg_recv_local is not None else None),
-        seg_chunks=(jnp.asarray(seg_chunks)
+        seg_chunks=(np.asarray(seg_chunks)
                     if seg_chunks is not None else None),
-        seg_send_local=(jnp.asarray(seg_send_local)
+        seg_send_local=(np.asarray(seg_send_local)
                         if seg_send_local is not None else None),
         seg_block_n=(mxu_layout.get(
             "block_n", 128 if seg_mode == "slab" else 256)
             if seg_mode is not None else None),
         seg_mode=seg_mode,
-        seg_in_degree=(jnp.asarray(seg_in_degree)
+        seg_in_degree=(np.asarray(seg_in_degree)
                        if seg_in_degree is not None else None),
-        pool_recv_local=(jnp.asarray(pool_recv_local)
+        pool_recv_local=(np.asarray(pool_recv_local)
                          if pool_recv_local is not None else None),
-        pool_fb=jnp.asarray(pool_fb) if pool_fb is not None else None,
-        pool_counts=(jnp.asarray(pool_counts)
+        pool_fb=np.asarray(pool_fb) if pool_fb is not None else None,
+        pool_counts=(np.asarray(pool_counts)
                      if pool_counts is not None else None),
         pool_block_g=pool_block_g,
     )
