@@ -66,6 +66,9 @@ def make_zinc_like(num_graphs, seed=0):
 def run_variant(trainer, data, iters):
     import jax
 
+    # batches are host numpy since the transfer-latency fix; ship once so
+    # the timed loop measures device time, not per-iter re-upload
+    data = jax.device_put(data)
     state = trainer.init_state(data, seed=0)
     key = jax.random.PRNGKey(0)
     state, _ = trainer._jit_train_step(state, data, 1e-3, key)

@@ -225,6 +225,13 @@ def main(args: Dict):
     import jax
     if args.get("device") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.get("device_idx"):
+        try:
+            jax.config.update("jax_default_device",
+                              jax.devices()[args["device_idx"]])
+        except Exception:
+            pass   # fewer devices than requested: reference falls back
+            #        to CPU similarly (main.py:54-59)
     try:
         # persistent compile cache: repeat shapes (and repeat folds)
         # skip the multi-minute remote compiles

@@ -84,9 +84,16 @@ def load_config(args: Dict) -> Dict:
 
 
 def main(args: Dict):
+    import jax
     if args.get("device") == "cpu":
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    try:
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     args = load_config(args)
     np.random.seed(args["seed"])
 
@@ -139,7 +146,7 @@ def main(args: Dict):
         patience=args["lr_schedule_patience"], min_lr=args["min_lr"],
         batch_size=args["batch_size"], num_epochs=args["epochs"],
         loss_fn="BCEWithLogitsLoss", prediction_fn="None",
-        evaluator="rocauc", seed=args["seed"], caps_mode="tight")
+        evaluator="rocauc", seed=args["seed"], caps_mode="worst")
 
     trainer = Trainer(cfg, tcfg, train, model=model)
     example = next(iterate_batches(train, tcfg.batch_size,

@@ -41,7 +41,8 @@ from gsn_tpu.train.optim import make_optimizer
 
 def make_ep_batch(data: GraphBatch, num_devices: int,
                   flow: str = "source_to_target",
-                  axis: str = "ep") -> GraphBatch:
+                  axis: str = "ep",
+                  ids_on_edges: bool | None = None) -> GraphBatch:
     """Re-shape one padded GraphBatch into per-device edge-partitioned
     shards stacked on a leading device axis.
 
@@ -70,16 +71,6 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
             return None
         a = np.asarray(arr)
         return a.reshape((D, block) + a.shape[1:])
-
-    def edge_part(arr):
-        if arr is None:
-            return None
-        a = np.asarray(arr)
-        out = np.zeros((D, e_cap) + a.shape[1:], a.dtype)
-        for d in range(D):
-            rows = a[sel[d]]
-            out[d, : len(rows)] = rows
-        return out
 
     def rep(arr):
         if arr is None:
@@ -110,9 +101,21 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
             out[d, : len(rows)] = rows[order]
         return out
 
-    id_is_edge_level = (data.identifiers is not None
-                        and np.asarray(data.identifiers).shape[0]
-                        == ei.shape[1])
+    # node- vs edge-level identifiers: same disambiguation rule as
+    # batch_graphs (container.py) — row count matching edges AND not
+    # matching nodes; when caps bucket to the same value the shape is
+    # ambiguous and the caller must say (ids_on_edges)
+    if data.identifiers is not None:
+        rows = np.asarray(data.identifiers).shape[0]
+        if ids_on_edges is None:
+            if rows == ei.shape[1] and rows == N:
+                raise ValueError(
+                    "identifiers row count matches both node and edge "
+                    "caps; pass ids_on_edges=True/False explicitly")
+            ids_on_edges = rows == ei.shape[1] and rows != N
+        id_is_edge_level = bool(ids_on_edges)
+    else:
+        id_is_edge_level = False
     return GraphBatch(
         x=node_part(data.x),
         edge_index=ei_local,
@@ -202,7 +205,11 @@ class EdgePartitionedTrainer:
     def _step_local(self, state: TrainState, data: GraphBatch, lr, key):
         data = jax.tree_util.tree_map(lambda x: x[0], data)
         # NB: key is NOT folded by device — graph-level dropout acts on
-        # replicated pooled features, so masks must agree across shards
+        # replicated pooled features, so masks must agree across shards.
+        # Known limitation: NODE-level dropout (GNN_OGB dropout_features)
+        # therefore draws the same mask pattern in every node block
+        # (correlated across shards).  Exact only for dropout == 0; use
+        # DP or single-device for dropout-regularized OGB training.
         rngs = {"dropout": key,
                 "random_features": jax.random.fold_in(key, 1)}
 

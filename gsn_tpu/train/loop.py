@@ -17,7 +17,7 @@ import numpy as np
 from flax import core, struct
 
 from gsn_tpu.graphs.batching import (epoch_caps, infer_y_spec,
-                                     iterate_batches)
+                                     iterate_batches, tight_epoch_caps)
 from gsn_tpu.graphs.container import GraphBatch
 from gsn_tpu.nn.models import build_model
 from .metrics import LOSSES, PREDICTION_FNS, roc_auc_score
@@ -256,12 +256,23 @@ class Trainer:
         the (live) list object; bounded to the few splits of a run."""
         key = (id(graphs), len(graphs), n_iters)
         plan = self._eval_plans.get(key)
-        if plan is not None:
-            return plan
+        # the cached entry keeps a strong reference to the list, so its
+        # id cannot be recycled while cached; the `is` check guards the
+        # eviction race (a new list reusing an evicted entry's id)
+        if plan is not None and plan[0] is graphs:
+            return plan[1], plan[2]
         batches = []
+        # worst-mode caps come from the TRAIN split; a skewed eval split
+        # can exceed them, so take the elementwise max with this split's
+        # own tight caps (one extra compile per split, cached)
+        caps = self.caps
+        if caps is not None:
+            tight = tight_epoch_caps(np.arange(len(graphs)), graphs,
+                                     self.tcfg.batch_size)
+            caps = tuple(max(a, b) for a, b in zip(caps, tight))
         for it_idx, data in enumerate(iterate_batches(
                 graphs, self.tcfg.batch_size, shuffle=False,
-                caps=self.caps, y_shape=self.y_shape,
+                caps=caps, y_shape=self.y_shape,
                 y_dtype=self.y_dtype, mxu_layout=self.mxu_layout)):
             if n_iters is not None and it_idx >= n_iters:
                 break
@@ -275,7 +286,7 @@ class Trainer:
                 runs.append((i, j, stacked))
         if len(self._eval_plans) >= 8:   # bound device-resident caches
             self._eval_plans.pop(next(iter(self._eval_plans)))
-        self._eval_plans[key] = (batches, runs)
+        self._eval_plans[key] = (graphs, batches, runs)
         return batches, runs
 
     def evaluate(self, state: TrainState, graphs: List[Dict],

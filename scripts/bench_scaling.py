@@ -100,7 +100,10 @@ def main():
     for D in dev_counts:
         mesh = make_mesh(D, axis_names=("ep",))
         ept = EdgePartitionedTrainer(cfg, mesh, lr=1e-3, loss_fn="L1Loss")
-        ep_batch = make_ep_batch(data, D, flow=cfg.flow)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ep_batch = jax.device_put(
+            make_ep_batch(data, D, flow=cfg.flow),
+            NamedSharding(mesh, P("ep")))   # ship once, outside the timing
         state = ept.init_state(ep_batch, seed=0)
         key = jax.random.PRNGKey(0)
         state, loss = ept.train_step(state, ep_batch, 1e-3, key)

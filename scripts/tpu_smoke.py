@@ -228,8 +228,12 @@ def check_slab_pool():
                                rtol=1e-4, atol=1e-4)
 
 
-def check_slab_train_step():
-    """End-to-end: one slab-path train step (the bench workload, small)."""
+def check_slab_train_step(bn_mlp=False):
+    """End-to-end: one slab-path train step (the bench workload, small).
+
+    ``bn_mlp=True`` additionally exercises the fused-BN slab path (the
+    joint [H, H^2] moments pass with act='id_sq',
+    nn/filters.py:134-164)."""
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, "/root/repo")
@@ -240,8 +244,9 @@ def check_slab_train_step():
 
     graphs, d_id = bench.make_zinc_like(64)
     cfg = GSNConfig(
-        model_name="GSN_edge_sparse", num_layers=2, d_out=64,
-        out_features=1, msg_kind="general", id_scope="global", bn_mlp=False,
+        model_name="GSN_edge_sparse", num_layers=2, d_out=64, d_h=64,
+        out_features=1, msg_kind="general", id_scope="global",
+        bn_mlp=bn_mlp,
         id_embedding="one_hot_encoder", input_node_encoder="embedding",
         edge_encoder="embedding", readout="sum",
         in_features=1, d_in_node_encoder=[28], d_in_edge_encoder=[4],
@@ -278,6 +283,8 @@ def main():
     check("slab_pool fwd+bwd", check_slab_pool)
     if "--quick" not in sys.argv:
         check("slab train step (end-to-end)", check_slab_train_step)
+        check("slab train step (bn_mlp fused BN)",
+              lambda: check_slab_train_step(bn_mlp=True))
 
     failed = [n for n, ok in RESULTS if not ok]
     print(f"[smoke] {len(RESULTS) - len(failed)}/{len(RESULTS)} passed",
