@@ -71,13 +71,20 @@ def run_variant(trainer, data, iters):
     data = jax.device_put(data)
     state = trainer.init_state(data, seed=0)
     key = jax.random.PRNGKey(0)
-    state, _ = trainer._jit_train_step(state, data, 1e-3, key)
-    jax.block_until_ready(state.params)
+    state, loss = trainer._jit_train_step(state, data, 1e-3, key)
+    # NB: jax.block_until_ready does NOT block through the axon remote
+    # tunnel (measured: it returned in <1 ms on a multi-second program).
+    # Only a device->host VALUE fetch is a real barrier, so every timing
+    # here ends with float(loss) and subtracts the measured fetch RTT.
+    _ = float(loss)                       # sync: warmup fully retired
+    t0 = time.perf_counter()
+    _ = float(loss)                       # RTT of a bare value fetch
+    rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = trainer._jit_train_step(state, data, 1e-3, key)
-    jax.block_until_ready(loss)
-    return time.perf_counter() - t0
+    _ = float(loss)                       # barrier: forces the chain
+    return time.perf_counter() - t0 - rtt
 
 
 def main():

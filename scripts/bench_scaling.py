@@ -48,6 +48,7 @@ def main():
     import numpy as np
     from jax.sharding import Mesh
 
+    from gsn_tpu.timing import device_sync, fetch_rtt
     from gsn_tpu.parallel.edge_partition import (
         partition_edges_by_receiver, partition_edges_ring,
         edge_partitioned_propagate, ring_edge_partitioned_propagate)
@@ -107,12 +108,12 @@ def main():
         state = ept.init_state(ep_batch, seed=0)
         key = jax.random.PRNGKey(0)
         state, loss = ept.train_step(state, ep_batch, 1e-3, key)
-        jax.block_until_ready(loss)
+        rtt = fetch_rtt(loss)
         t0 = time.perf_counter()
         for _ in range(args.model_iters):
             state, loss = ept.train_step(state, ep_batch, 1e-3, key)
-        jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / args.model_iters
+        device_sync(loss)
+        dt = (time.perf_counter() - t0 - rtt) / args.model_iters
         rate = real_edges / dt
         if D == 1:
             model_base = rate
@@ -149,12 +150,12 @@ def main():
                         jnp.asarray(parts["edge_mask"]))
             prop = prop_fn(mesh, lambda xi, xj: xi * 0.5 + xj)
             out = prop(*arrs)
-            jax.block_until_ready(out)
+            rtt = fetch_rtt(out)
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 out = prop(*arrs)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / args.iters
+            device_sync(out)
+            dt = (time.perf_counter() - t0 - rtt) / args.iters
             rate = E / dt
             key = variant
             if D == 1:

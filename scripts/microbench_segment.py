@@ -17,13 +17,14 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=50):
+    from gsn_tpu.timing import device_sync, fetch_rtt
     out = fn(*args)
-    jax.block_until_ready(out)
+    rtt = fetch_rtt(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    device_sync(out)
+    return (time.perf_counter() - t0 - rtt) / iters
 
 
 def main():

@@ -32,9 +32,10 @@ ITERS = 20
 
 
 def timed(fn, *a):
+    from gsn_tpu.timing import device_sync
     t0 = time.perf_counter()
     out = fn(*a)
-    jax.block_until_ready(out)
+    device_sync(out)
     return out, time.perf_counter() - t0
 
 
@@ -66,25 +67,27 @@ def main():
     (state, _), dt_c = timed(trainer._jit_train_step, state, data, 1e-3,
                              key)
     summary["train_compile_s"] = round(dt_c, 2)
+    from gsn_tpu.timing import device_sync, fetch_rtt
     for _ in range(3):
         state, loss = trainer._jit_train_step(state, data, 1e-3, key)
-    jax.block_until_ready(loss)
+    rtt = fetch_rtt(loss)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, loss = trainer._jit_train_step(state, data, 1e-3, key)
-    jax.block_until_ready(loss)
+    device_sync(loss)
     summary["train_ms_per_step"] = round(
-        (time.perf_counter() - t0) / ITERS * 1e3, 2)
+        (time.perf_counter() - t0 - rtt) / ITERS * 1e3, 2)
 
     # --- eval (forward-only) step --------------------------------------
     out, dt_c = timed(trainer._jit_eval_step, state, data)
     summary["eval_compile_s"] = round(dt_c, 2)
+    rtt = fetch_rtt(out)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = trainer._jit_eval_step(state, data)
-    jax.block_until_ready(out)
+    device_sync(out)
     summary["eval_ms_per_step"] = round(
-        (time.perf_counter() - t0) / ITERS * 1e3, 2)
+        (time.perf_counter() - t0 - rtt) / ITERS * 1e3, 2)
 
     # --- trace a few steps of each ------------------------------------
     trace_dir = "/root/repo/profiles/step"
@@ -92,10 +95,10 @@ def main():
     with jax.profiler.trace(trace_dir):
         for _ in range(5):
             state, loss = trainer._jit_train_step(state, data, 1e-3, key)
-        jax.block_until_ready(loss)
+        device_sync(loss)
         for _ in range(5):
             out = trainer._jit_eval_step(state, data)
-        jax.block_until_ready(out)
+        device_sync(out)
     summary["trace_dir"] = trace_dir
 
     print(json.dumps(summary))
