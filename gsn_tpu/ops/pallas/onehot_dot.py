@@ -1,0 +1,61 @@
+"""Exact one-hot matmuls in 3 MXU passes (bf16x3 data split).
+
+Every gather/scatter in the slab kernels is a matmul against a 0/1
+selection matrix.  A 0/1 matrix is *exactly* representable in bf16, so
+full precision is only needed on the data side.  Splitting the data into
+three bf16 components with non-overlapping significands
+
+    x = hi + mid + lo,   hi = bf16(x), mid = bf16(x - hi), ...
+
+reconstructs the full 24-bit f32 mantissa (3 x 8 bits), so
+
+    sel @ x = sel@hi + sel@mid + sel@lo
+
+is accurate to a few f32 ulps while each term is a DEFAULT-precision
+bf16 MXU pass.  Mosaic's only exact alternative, Precision.HIGHEST,
+emulates a full f32xf32 contract (6+ passes) — twice the MXU work for
+the same answer when one operand is a selection matrix.
+
+Used inside Pallas kernels (slab_message, slab_pool, fused_message,
+segment_mxu).  Helpers are plain jnp, so they also trace fine outside
+Pallas, but at XLA level prefer ``lax.Precision.HIGH`` (same bf16x3
+scheme without materializing the split).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _split3(x):
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def onehot_dot(sel, x):
+    """``sel [m, k] (0/1) @ x [k, n] f32 -> [m, n] f32`` in 3 MXU passes."""
+    s = sel.astype(jnp.bfloat16)
+    hi, mid, lo = _split3(x)
+    out = jnp.dot(s, hi, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(s, mid, preferred_element_type=jnp.float32)
+    return out + jnp.dot(s, lo, preferred_element_type=jnp.float32)
+
+
+_DN_T = (((0,), (0,)), ((), ()))
+
+
+def onehot_dot_t(sel, y):
+    """``sel [k, m] (0/1), y [k, n] f32 -> sel^T @ y [m, n]`` (scatter-add
+    over the shared leading axis) in 3 MXU passes."""
+    s = sel.astype(jnp.bfloat16)
+    hi, mid, lo = _split3(y)
+    out = jax.lax.dot_general(s, hi, dimension_numbers=_DN_T,
+                              preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot_general(s, mid, dimension_numbers=_DN_T,
+                                    preferred_element_type=jnp.float32)
+    return out + jax.lax.dot_general(s, lo, dimension_numbers=_DN_T,
+                                     preferred_element_type=jnp.float32)

@@ -37,6 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .onehot_dot import onehot_dot, onehot_dot_t
+
 S_R = 2   # receiver span (node blocks per slab)
 S_S = 4   # sender window (node blocks)
 
@@ -107,20 +109,19 @@ def _onehots(recv_ref, send_ref, block_n):
     return oh_r, oh_s
 
 
-# Precision.HIGHEST (Mosaic lowers it to fp32 contract precision — the
-# only non-default precision Mosaic's dot lowering accepts) everywhere a
-# one-hot multiplies real f32 data: DEFAULT (1-pass bf16) would round
-# activations/gradients to bf16 (~4e-3 relative error per layer).
-_PREC = jax.lax.Precision.HIGHEST
+# Every dot here multiplies a 0/1 one-hot by real f32 data.  DEFAULT
+# (1-pass bf16) would round activations/gradients to bf16 (~4e-3
+# relative error per layer); HIGHEST (full f32 emulation, 6+ passes) is
+# exact but pays double.  onehot_dot/onehot_dot_t do it exactly in 3
+# bf16 passes (see onehot_dot.py).  _PREC remains for the XLA-level
+# slab combine, where HIGH is the same bf16x3 scheme compiler-side.
+_PREC = jax.lax.Precision.HIGH
 
 
 def _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe):
     a_span = jnp.concatenate([r[...] for r in a_refs], 0)
     b_win = jnp.concatenate([r[...] for r in b_refs], 0)
-    h = (jnp.dot(oh_r, a_span, preferred_element_type=jnp.float32,
-                 precision=_PREC)
-         + jnp.dot(oh_s, b_win, preferred_element_type=jnp.float32,
-                   precision=_PREC))
+    h = onehot_dot(oh_r, a_span) + onehot_dot(oh_s, b_win)
     if has_pe:
         h = h + pe_ref[...]
     return h + bias_ref[...]
@@ -138,9 +139,7 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
         # joint [H, H^2] aggregation: one call yields both first and
         # second masked moments of the pre-activation (for fused BN)
         h = jnp.concatenate([h, h * h], axis=1)
-    slab_ref[...] = jax.lax.dot_general(
-        oh_r, h, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)[None]
+    slab_ref[...] = onehot_dot_t(oh_r, h)[None]
 
 
 def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
@@ -149,8 +148,7 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
                 *, block_n, act, has_pe):
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
     g_span = jnp.concatenate([g0[...], g1[...]], 0)   # [2Bn, d or 2d]
-    g_e = jnp.dot(oh_r, g_span, preferred_element_type=jnp.float32,
-                  precision=_PREC)
+    g_e = onehot_dot(oh_r, g_span)
     if act in ("relu", "id_sq"):
         h = _h(oh_r, oh_s, (a0, a1), (b0, b1, b2, b3), pe_ref, bias_ref,
                has_pe)
@@ -160,12 +158,8 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
             d1 = h.shape[1]
             g_e = g_e[:, :d1] + 2.0 * h * g_e[:, d1:]
     dh_ref[...] = g_e
-    da_slab_ref[...] = jax.lax.dot_general(
-        oh_r, g_e, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)[None]
-    db_slab_ref[...] = jax.lax.dot_general(
-        oh_s, g_e, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)[None]
+    da_slab_ref[...] = onehot_dot_t(oh_r, g_e)[None]
+    db_slab_ref[...] = onehot_dot_t(oh_s, g_e)[None]
 
 
 def _specs(block_e, block_n, d1):
@@ -201,8 +195,9 @@ def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d):
     assign = (ids[None, :]
               == jnp.arange(num_blocks, dtype=ids.dtype)[:, None]
               ).astype(rows.dtype)
-    # HIGHEST: keep the slab partials exact f32 (default TPU precision
-    # would round them to bf16 before the reduction)
+    # HIGH (bf16x3): keeps the slab partials effectively exact f32
+    # (default TPU precision would round them to bf16 before the
+    # reduction); the assign side is 0/1 so only the data split matters
     out = jax.lax.dot_general(
         assign, rows, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=rows.dtype,

@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .onehot_dot import onehot_dot, onehot_dot_t
+
 S_R = 2    # graph-block span per chunk
 
 
@@ -66,7 +68,10 @@ def build_pool_metadata(batch: np.ndarray, node_mask: np.ndarray,
             "block_e": block_e, "num_blocks": num_blocks}
 
 
-_PREC = jax.lax.Precision.HIGHEST   # exact for one-hot x f32 (see slab_message)
+# in-kernel dots use onehot_dot (3-pass bf16x3, exact — see
+# onehot_dot.py); the XLA-level combine uses HIGH (same scheme
+# compiler-side)
+_PREC = jax.lax.Precision.HIGH
 
 
 def _onehot(recv_ref, block_g):
@@ -78,17 +83,13 @@ def _onehot(recv_ref, block_g):
 
 def _pool_fwd_kernel(fb_ref, recv_ref, x_ref, slab_ref, *, block_g):
     oh = _onehot(recv_ref, block_g)
-    slab_ref[...] = jax.lax.dot_general(
-        oh, x_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)[None]
+    slab_ref[...] = onehot_dot_t(oh, x_ref[...])[None]
 
 
 def _pool_bwd_kernel(fb_ref, recv_ref, g0, g1, dx_ref, *, block_g):
     oh = _onehot(recv_ref, block_g)
     g_span = jnp.concatenate([g0[...], g1[...]], 0)
-    dx_ref[...] = jnp.dot(oh, g_span,
-                          preferred_element_type=jnp.float32,
-                          precision=_PREC)
+    dx_ref[...] = onehot_dot(oh, g_span)
 
 
 def _combine(slabs, fb, num_blocks, block_g, d):
