@@ -66,6 +66,8 @@ def make_zinc_like(num_graphs, seed=0):
 def run_variant(trainer, data, iters):
     import jax
 
+    from gsn_tpu.timing import device_sync, fetch_rtt
+
     # batches are host numpy since the transfer-latency fix; ship once so
     # the timed loop measures device time, not per-iter re-upload
     data = jax.device_put(data)
@@ -75,15 +77,15 @@ def run_variant(trainer, data, iters):
     # NB: jax.block_until_ready does NOT block through the axon remote
     # tunnel (measured: it returned in <1 ms on a multi-second program).
     # Only a device->host VALUE fetch is a real barrier, so every timing
-    # here ends with float(loss) and subtracts the measured fetch RTT.
-    _ = float(loss)                       # sync: warmup fully retired
-    t0 = time.perf_counter()
-    _ = float(loss)                       # RTT of a bare value fetch
-    rtt = time.perf_counter() - t0
+    # here ends with device_sync and subtracts the measured fetch RTT.
+    # (device_sync always fetches a FRESH derived scalar — a raw
+    # float(loss) repeat would hit jax.Array's host cache and measure µs.)
+    device_sync(loss)                     # sync: warmup fully retired
+    rtt = fetch_rtt(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = trainer._jit_train_step(state, data, 1e-3, key)
-    _ = float(loss)                       # barrier: forces the chain
+    device_sync(loss)                     # barrier: forces the chain
     return time.perf_counter() - t0 - rtt
 
 

@@ -39,6 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .onehot_dot import onehot_dot, onehot_dot_t
 from .segment_mxu import mxu_segment_sum_aligned
 
 
@@ -81,10 +82,7 @@ def _onehots(recv_ref, send_ref, block_n):
 
 def _compute_h(oh_r, oh_s, a_ref, b0, b1, b2, pe_ref, bias_ref, has_pe):
     b_win = jnp.concatenate([b0[...], b1[...], b2[...]], 0)
-    h = (jnp.dot(oh_r, a_ref[...], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-         + jnp.dot(oh_s, b_win, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST))
+    h = onehot_dot(oh_r, a_ref[...]) + onehot_dot(oh_s, b_win)
     if has_pe:
         h = h + pe_ref[...]
     return h + bias_ref[...]
@@ -100,10 +98,7 @@ def _fwd_kernel(nb_ref, first_ref, wf_ref, recv_ref, send_ref, pe_ref,
                    bias_ref, has_pe)
     if act == "relu":
         h = jnp.maximum(h, 0.0)
-    contrib = jax.lax.dot_general(
-        oh_r, h, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    contrib = onehot_dot_t(oh_r, h)
 
     @pl.when(is_first)
     def _():
@@ -119,8 +114,7 @@ def _bwd_kernel(nb_ref, first_ref, wf_ref, recv_ref, send_ref, pe_ref,
                 dh_ref, *, block_n, act, has_pe):
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
     # per-edge cotangent: dAgg gathered at receivers
-    g_e = jnp.dot(oh_r, g_ref[...], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    g_e = onehot_dot(oh_r, g_ref[...])
     if act == "relu":
         h = _compute_h(oh_r, oh_s, a_ref, b0_ref, b1_ref, b2_ref, pe_ref,
                        bias_ref, has_pe)

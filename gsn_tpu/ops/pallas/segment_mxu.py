@@ -33,6 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .onehot_dot import onehot_dot, onehot_dot_t
+
 DEFAULT_BLOCK_N = 256
 DEFAULT_BLOCK_E = 512
 
@@ -132,11 +134,7 @@ def _fwd_kernel(chunk_nb_ref, chunk_first_ref, recv_ref, msg_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_n, recv.shape[1]), 0)
     # padding slots carry recv == -1 and match no row
     onehot = jnp.where(rows == recv, 1.0, 0.0).astype(jnp.float32)
-    contrib = jax.lax.dot_general(
-        onehot, msg_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    contrib = onehot_dot(onehot, msg_ref[...])
 
     @pl.when(first)
     def _():
@@ -153,11 +151,7 @@ def _bwd_kernel(chunk_nb_ref, chunk_first_ref, recv_ref, g_ref,
     recv = recv_ref[...].reshape(1, -1).astype(jnp.int32)   # [1, Be]
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_n, recv.shape[1]), 0)
     onehot = jnp.where(rows == recv, 1.0, 0.0).astype(jnp.float32)
-    dmsg_ref[...] = jax.lax.dot_general(
-        onehot, g_ref[...],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    dmsg_ref[...] = onehot_dot_t(onehot, g_ref[...])
 
 
 def _call_fwd(msgs_layout, recv_local, chunk_nb, chunk_first,

@@ -113,9 +113,9 @@ def _onehots(recv_ref, send_ref, block_n):
 # (1-pass bf16) would round activations/gradients to bf16 (~4e-3
 # relative error per layer); HIGHEST (full f32 emulation, 6+ passes) is
 # exact but pays double.  onehot_dot/onehot_dot_t do it exactly in 3
-# bf16 passes (see onehot_dot.py).  _PREC remains for the XLA-level
-# slab combine, where HIGH is the same bf16x3 scheme compiler-side.
-_PREC = jax.lax.Precision.HIGH
+# bf16 passes — both in-kernel and for the XLA-level slab combine.
+# (XLA's Precision.HIGH is NOT equivalent: TPU bf16_3x splits each
+# operand into only TWO bf16 chunks, i.e. ~16 data mantissa bits.)
 
 
 def _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe):
@@ -194,14 +194,10 @@ def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d):
            + jnp.arange(span, dtype=first_block.dtype)[None, :]).reshape(-1)
     assign = (ids[None, :]
               == jnp.arange(num_blocks, dtype=ids.dtype)[:, None]
-              ).astype(rows.dtype)
-    # HIGH (bf16x3): keeps the slab partials effectively exact f32
-    # (default TPU precision would round them to bf16 before the
-    # reduction); the assign side is 0/1 so only the data split matters
-    out = jax.lax.dot_general(
-        assign, rows, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=rows.dtype,
-        precision=_PREC)
+              ).astype(jnp.float32)
+    # onehot_dot (bf16x3, 3-chunk data split): exact-to-a-few-ulps f32
+    # reduction of the slab partials in 3 DEFAULT-precision MXU passes
+    out = onehot_dot(assign, rows)
     return out.reshape(num_blocks * block_n, d)
 
 

@@ -68,10 +68,10 @@ def build_pool_metadata(batch: np.ndarray, node_mask: np.ndarray,
             "block_e": block_e, "num_blocks": num_blocks}
 
 
-# in-kernel dots use onehot_dot (3-pass bf16x3, exact — see
-# onehot_dot.py); the XLA-level combine uses HIGH (same scheme
-# compiler-side)
-_PREC = jax.lax.Precision.HIGH
+# All dots (in-kernel and the XLA-level combine) use onehot_dot's
+# 3-chunk bf16x3 data split — exact to a few f32 ulps in 3 MXU passes.
+# XLA's Precision.HIGH would NOT match: TPU bf16_3x splits operands into
+# only two bf16 chunks (~16 data mantissa bits).
 
 
 def _onehot(recv_ref, block_g):
@@ -99,11 +99,8 @@ def _combine(slabs, fb, num_blocks, block_g, d):
            + jnp.arange(S_R, dtype=fb.dtype)[None, :]).reshape(-1)
     assign = (ids[None, :]
               == jnp.arange(num_blocks, dtype=ids.dtype)[:, None]
-              ).astype(rows.dtype)
-    out = jax.lax.dot_general(
-        assign, rows, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=rows.dtype,
-        precision=_PREC)
+              ).astype(jnp.float32)
+    out = onehot_dot(assign, rows)
     return out.reshape(num_blocks * block_g, d)
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -34,7 +35,17 @@ def device_sync(x):
             break
     if leaf is None:
         return x
-    scalar = leaf if getattr(leaf, "ndim", 0) == 0 else leaf.ravel()[0]
+    # Always fetch a FRESH on-device scalar: jax.Array caches its host
+    # copy (_npy_value) after the first fetch, so device_get on the leaf
+    # itself is a ~µs cache hit the second time — which silently zeroed
+    # the rtt subtraction for 0-d leaves (scalar losses).  Deriving a new
+    # array (ravel()[0] / leaf + 0) dispatches a tiny program whose fetch
+    # always crosses the tunnel.
+    if getattr(leaf, "ndim", 0) == 0:
+        scalar = leaf + jnp.zeros((), leaf.dtype) if hasattr(
+            leaf, "block_until_ready") else leaf
+    else:
+        scalar = leaf.ravel()[0]
     np.asarray(jax.device_get(scalar))
     return x
 
