@@ -1,18 +1,26 @@
-"""Throughput benchmark: edges/s/chip on the flagship GSN train step.
+"""Throughput benchmark: edges/s/chip on the flagship GSN train steps.
 
-Workload: ZINC-scale molecular graphs (GSN_edge_sparse, general msg,
-vertex-scope cycle ids, edge features, d=128, 4 layers) in one large
-padded batch, full forward+backward+Adam per step.
+Two workloads, matching BASELINE.json's metric "Edges/s/chip (ZINC +
+molhiv batched)":
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no throughput numbers (SURVEY §6), so
-`vs_baseline` is the measured speedup of the best path over this
-framework's own plain-XLA (no Pallas) train step on the same
-workload/chip — measured live in the same run, not a recorded constant.
+1. **zinc** — GSN_edge_sparse, general msg, vertex-scope cycle ids, edge
+   features, d=128, 4 layers (reference ZINC GSN-EF shape,
+   /root/reference/README.md:112).
+2. **molhiv** — GSN_edge_sparse_ogb, ogb msg kind, virtual node,
+   atom/bond encoders, edge-scope induced-cycle ids, d=300, 5 layers,
+   dropout 0.5 (reference GSN-VN-AF flagship,
+   /root/reference/README.md:121,
+   models_graph_classification_ogb_original.py:209-268).
 
-If the Pallas kernel path fails for any reason (e.g. a Mosaic lowering
-regression), the failure is logged to stderr and the plain-XLA figure is
-reported with vs_baseline=1.0 — the bench always exits 0 with a number.
+Each workload measures a plain-XLA (no Pallas) train step live and the
+best kernel/bf16 variant on the same batch; ``vs_baseline`` is
+best/plain measured in the same run, not a recorded constant.  One JSON
+line per workload is printed; the FLAGSHIP (zinc, comparable across
+rounds) prints LAST.
+
+If a kernel path fails (e.g. a Mosaic lowering regression), the failure
+is logged to stderr and that workload degrades to the plain-XLA figure —
+the bench always exits 0 with numbers.
 """
 
 import json
@@ -31,12 +39,11 @@ ITERS = 30
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+SLAB = {"mode": "slab", "flow": "source_to_target",
+        "block_n": 128, "block_e": 256}
 
-def make_zinc_like(num_graphs, seed=0):
-    from gsn_tpu.data.encoding import encode
-    from gsn_tpu.data.pipeline import generate_dataset
-    from gsn_tpu.graphs.patterns import cycle_graph
 
+def _molecule_graphs(num_graphs, seed, atom_dims, bond_dims):
     rng = np.random.RandomState(seed)
     graphs = []
     for _ in range(num_graphs):
@@ -49,16 +56,42 @@ def make_zinc_like(num_graphs, seed=0):
         both = sorted([(u, v) for u, v in edges]
                       + [(v, u) for u, v in edges])
         ei = np.array(both, dtype=np.int64).T
-        graphs.append({
-            "x": rng.randint(0, 28, (n, 1)).astype(np.int64),
-            "edge_index": ei,
-            "edge_features": rng.randint(0, 4, (ei.shape[1], 1)).astype(
-                np.int64),
-            "y": np.float32(rng.randn()),
-        })
+        x = np.stack([rng.randint(0, d, n) for d in atom_dims],
+                     1).astype(np.int64)
+        ef = np.stack([rng.randint(0, d, ei.shape[1]) for d in bond_dims],
+                      1).astype(np.int64)
+        graphs.append({"x": x, "edge_index": ei, "edge_features": ef,
+                       "y": np.float32(rng.rand() > 0.5)})
+    return graphs
+
+
+def make_zinc_like(num_graphs, seed=0):
+    from gsn_tpu.data.encoding import encode
+    from gsn_tpu.data.pipeline import generate_dataset
+    from gsn_tpu.graphs.patterns import cycle_graph
+
+    graphs = _molecule_graphs(num_graphs, seed, [28], [4])
     vocab = [cycle_graph(k) for k in range(3, 9)]
     graphs, _ = generate_dataset(graphs, vocab, id_scope="global",
                                  induced=False)
+    graphs, _eid, d_id, _ed, _dd = encode(graphs, "one_hot_unique")
+    return graphs, d_id
+
+
+def make_molhiv_like(num_graphs, seed=0):
+    """OGB molhiv shapes: 9-field atom / 3-field bond categoricals,
+    edge-scope induced cycle counts (reference --id_scope local
+    --induced True --k 6)."""
+    from gsn_tpu.data.encoding import encode
+    from gsn_tpu.data.pipeline import generate_dataset
+    from gsn_tpu.graphs.patterns import cycle_graph
+
+    graphs = _molecule_graphs(num_graphs, seed,
+                              [119, 4, 12, 12, 10, 6, 6, 2, 2],
+                              [5, 6, 2])
+    vocab = [cycle_graph(k) for k in (3, 4, 5, 6)]
+    graphs, _ = generate_dataset(graphs, vocab, id_scope="local",
+                                 induced=True)
     graphs, _eid, d_id, _ed, _dd = encode(graphs, "one_hot_unique")
     return graphs, d_id
 
@@ -89,6 +122,68 @@ def run_variant(trainer, data, iters):
     return time.perf_counter() - t0 - rtt
 
 
+def bench_workload(name, graphs, cfg_fn, tcfg):
+    """Measure plain vs each kernel variant; return the JSON record."""
+    import dataclasses
+
+    from gsn_tpu.graphs.batching import iterate_batches, tight_epoch_caps
+    from gsn_tpu.train.loop import Trainer
+
+    cfg = cfg_fn()
+    trainer = Trainer(cfg, tcfg, graphs)
+    caps = tight_epoch_caps(np.arange(len(graphs)), graphs, BATCH_GRAPHS)
+
+    data_plain = next(iterate_batches(
+        graphs, BATCH_GRAPHS, caps=caps, y_shape=(), y_dtype=np.float32))
+    real_edges = int(np.asarray(data_plain.edge_mask).sum())
+    dt_plain = run_variant(trainer, data_plain, ITERS)
+    plain_eps = real_edges * ITERS / dt_plain
+    print(f"[bench:{name}] plain {plain_eps:.3e} edges/s", file=sys.stderr)
+
+    best_eps, best_tag = plain_eps, "plain"
+    data_mxu = None
+    try:
+        data_mxu = next(iterate_batches(
+            graphs, BATCH_GRAPHS, caps=caps, y_shape=(),
+            y_dtype=np.float32, mxu_layout=SLAB))
+    except Exception:
+        print(f"[bench:{name}] slab layout build FAILED", file=sys.stderr)
+        traceback.print_exc()
+
+    variants = []
+    if data_mxu is not None:
+        variants.append(("slab", trainer, data_mxu))
+        try:
+            cfg_bf16 = dataclasses.replace(cfg,
+                                           compute_dtype="bfloat16")
+            variants.append(("slab+bf16",
+                             Trainer(cfg_bf16, tcfg, graphs), data_mxu))
+        except Exception:
+            print(f"[bench:{name}] bf16 cfg FAILED", file=sys.stderr)
+            traceback.print_exc()
+    for tag, tr, dat in variants:
+        try:
+            dt = run_variant(tr, dat, ITERS)
+            eps = real_edges * ITERS / dt
+            print(f"[bench:{name}] {tag} {eps:.3e} edges/s",
+                  file=sys.stderr)
+            if eps > best_eps:
+                best_eps, best_tag = eps, tag
+        except Exception:
+            print(f"[bench:{name}] variant {tag} FAILED", file=sys.stderr)
+            traceback.print_exc()
+
+    return {
+        "metric": (f"train_edges_per_s_per_chip"
+                   if name == "zinc"
+                   else f"train_edges_per_s_per_chip_{name}"),
+        "value": round(best_eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(best_eps / plain_eps, 3),
+        "path": best_tag,
+    }
+
+
 def main():
     import jax
     try:
@@ -99,60 +194,55 @@ def main():
         pass
 
     from gsn_tpu.config import GSNConfig
-    from gsn_tpu.graphs.batching import iterate_batches, tight_epoch_caps
-    from gsn_tpu.train.loop import Trainer, TrainerConfig
+    from gsn_tpu.train.loop import TrainerConfig
 
-    graphs, d_id = make_zinc_like(BATCH_GRAPHS)
-    cfg = GSNConfig(
-        model_name="GSN_edge_sparse", num_layers=4, d_out=128,
-        out_features=1, msg_kind="general", id_scope="global", bn_mlp=False,
-        id_embedding="one_hot_encoder", input_node_encoder="embedding",
-        edge_encoder="embedding", readout="sum",
-        in_features=1, d_in_node_encoder=[28], d_in_edge_encoder=[4],
-        d_in_id=d_id)
-    tcfg = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
-                         scheduler="None", loss_fn="L1Loss",
-                         prediction_fn="L1Loss", shuffle=False)
-    trainer = Trainer(cfg, tcfg, graphs)
-    caps = tight_epoch_caps(np.arange(len(graphs)), graphs, BATCH_GRAPHS)
+    records = []
 
-    # plain-XLA path: the live-measured baseline (and the fallback)
-    data_plain = next(iterate_batches(
-        graphs, BATCH_GRAPHS, caps=caps, y_shape=(), y_dtype=np.float32))
-    real_edges = int(np.asarray(data_plain.edge_mask).sum())
-    dt_plain = run_variant(trainer, data_plain, ITERS)
-    plain_eps = real_edges * ITERS / dt_plain
-
-    # Pallas slab-kernel path; any failure degrades to the plain figure
-    mxu_eps = None
+    # ---- molhiv-scale GSN-VN-AF flagship --------------------------------
     try:
-        data_mxu = next(iterate_batches(
-            graphs, BATCH_GRAPHS, caps=caps, y_shape=(),
-            y_dtype=np.float32,
-            mxu_layout={"mode": "slab", "flow": "source_to_target",
-                        "block_n": 128, "block_e": 256}))
-        dt_mxu = run_variant(trainer, data_mxu, ITERS)
-        mxu_eps = real_edges * ITERS / dt_mxu
+        graphs_m, d_id_m = make_molhiv_like(BATCH_GRAPHS)
+
+        def molhiv_cfg():
+            return GSNConfig(
+                model_name="GSN_edge_sparse_ogb", num_layers=5, d_out=300,
+                d_h=600, out_features=1, msg_kind="ogb", id_scope="local",
+                vn=True, dropout_features=0.5, readout="mean",
+                final_projection=[False], jk_mlp=False,
+                id_embedding="embedding", d_out_id_embedding=300,
+                input_node_encoder="atom_encoder",
+                edge_encoder="bond_encoder",
+                input_vn_encoder="embedding",
+                in_features=9, in_edge_features=3, d_in_id=d_id_m)
+
+        tcfg_m = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
+                               scheduler="None",
+                               loss_fn="BCEWithLogitsLoss",
+                               prediction_fn="None", shuffle=False)
+        records.append(bench_workload("molhiv", graphs_m, molhiv_cfg,
+                                      tcfg_m))
     except Exception:
-        print("[bench] Pallas kernel path FAILED; reporting plain-XLA "
-              "fallback figure.", file=sys.stderr)
+        print("[bench] molhiv workload FAILED entirely", file=sys.stderr)
         traceback.print_exc()
 
-    if mxu_eps is not None and mxu_eps > plain_eps:
-        value, vs = mxu_eps, mxu_eps / plain_eps
-    else:
-        value, vs = plain_eps, 1.0
-        if mxu_eps is not None:
-            print(f"[bench] kernel path slower than plain XLA "
-                  f"({mxu_eps:.3e} vs {plain_eps:.3e} edges/s); "
-                  "reporting plain figure.", file=sys.stderr)
+    # ---- ZINC-scale GSN-EF flagship (round-over-round comparable; LAST)
+    graphs_z, d_id_z = make_zinc_like(BATCH_GRAPHS)
 
-    print(json.dumps({
-        "metric": "train_edges_per_s_per_chip",
-        "value": round(value, 1),
-        "unit": "edges/s",
-        "vs_baseline": round(vs, 3),
-    }))
+    def zinc_cfg():
+        return GSNConfig(
+            model_name="GSN_edge_sparse", num_layers=4, d_out=128,
+            out_features=1, msg_kind="general", id_scope="global",
+            bn_mlp=False, id_embedding="one_hot_encoder",
+            input_node_encoder="embedding", edge_encoder="embedding",
+            readout="sum", in_features=1, d_in_node_encoder=[28],
+            d_in_edge_encoder=[4], d_in_id=d_id_z)
+
+    tcfg_z = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
+                           scheduler="None", loss_fn="L1Loss",
+                           prediction_fn="L1Loss", shuffle=False)
+    records.append(bench_workload("zinc", graphs_z, zinc_cfg, tcfg_z))
+
+    for r in records:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

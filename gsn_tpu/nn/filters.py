@@ -128,6 +128,12 @@ class EdgeMessageMLP(nn.Module):
             zero = jnp.zeros((n_nodes, d1), jnp.float32)
             A_in = (A if A is not None else zero).astype(jnp.float32)
             B_in = (B if B is not None else zero).astype(jnp.float32)
+            if self.ep_axis is not None:
+                # edge-partitioned: senders are GLOBAL ids into the
+                # all-gathered post-projection rows; the shard_map
+                # transpose turns this gather into a reduce-scatter of dB
+                B_in = jax.lax.all_gather(B_in, self.ep_axis, axis=0,
+                                          tiled=True)
             pe_in = pe.astype(jnp.float32) if pe is not None else None
             b_eff = bias.astype(jnp.float32)
             # a single-dense MLP has no hidden activation (reference
@@ -135,8 +141,15 @@ class EdgeMessageMLP(nn.Module):
             act_k = self.activation if len(widths) > 1 else "identity"
             if mode == "slab":
                 from gsn_tpu.ops.pallas.slab_message import (
-                    S_S, slab_edge_message_aggregate)
-                padded = max(-(-n_nodes // block_n), S_S) * block_n
+                    S_R, S_S, slab_edge_message_aggregate)
+                if self.ep_axis is not None:
+                    # split index spaces (must mirror make_ep_batch)
+                    padded = max(-(-n_nodes // block_n), S_R) * block_n
+                    padded_send = max(
+                        -(-B_in.shape[0] // block_n), S_S) * block_n
+                else:
+                    padded = max(-(-n_nodes // block_n), S_S) * block_n
+                    padded_send = None
                 if self.batch_norm and len(widths) > 1:
                     # fused BN: BN of the affine pre-activation H is an
                     # affine reparametrization of (A, B, Pe, bias); the
@@ -148,7 +161,7 @@ class EdgeMessageMLP(nn.Module):
                             A_in, B_in, pe_in, b_eff, recv_local,
                             send_local, cwf, n_nodes, padded, block_n,
                             block_e, "id_sq", pe is not None,
-                            interpret)[:n_nodes]
+                            interpret, padded_send)[:n_nodes]
                         n_e = (jnp.sum(in_deg[:n_nodes])
                                if in_deg is not None
                                else jnp.sum(
@@ -172,7 +185,7 @@ class EdgeMessageMLP(nn.Module):
                     A_in, B_in, pe_in, b_eff,
                     recv_local, send_local, cwf, n_nodes, padded,
                     block_n, block_e, act_k, pe is not None,
-                    interpret)[:n_nodes]
+                    interpret, padded_send)[:n_nodes]
             else:
                 from gsn_tpu.ops.pallas.fused_message import \
                     fused_edge_message_aggregate
@@ -339,6 +352,7 @@ class GSNLayer(nn.Module):
             if (seg is not None and seg[3] is not None
                     and self.aggr == "add"
                     and (not self.bn_mlp or seg[4] == "slab")
+                    and (self.ep_axis is None or seg[4] == "slab")
                     and len(self.d_h) <= 1
                     and self.activation_mlp in ("relu", "identity")):
                 recv_local, chunks, block_n, send_local, mode = seg[:5]
@@ -391,26 +405,35 @@ class GSNLayer(nn.Module):
                 import jax as _jax
 
                 from gsn_tpu.ops.pallas.slab_message import (
-                    S_S, slab_edge_message_aggregate)
+                    S_R, S_S, slab_edge_message_aggregate)
                 recv_local, chunks, block_n, send_local, _m = seg[:5]
                 block_e = recv_local.shape[0] // chunks.shape[1]
-                padded = max(-(-n_nodes // block_n), S_S) * block_n
+                padded = max(-(-n_nodes // block_n),
+                             S_R if self.ep_axis is not None else S_S
+                             ) * block_n
                 interp = _jax.default_backend() == "cpu"
 
                 def slab_part(node_arr=None, edge_arr=None):
                     dm = (node_arr if node_arr is not None
                           else edge_arr).shape[-1]
                     zero = jnp.zeros((n_nodes, dm), jnp.float32)
+                    B_arr = (node_arr.astype(jnp.float32)
+                             if node_arr is not None else zero)
+                    padded_send = None
+                    if self.ep_axis is not None:
+                        B_arr = jax.lax.all_gather(
+                            B_arr, self.ep_axis, axis=0, tiled=True)
+                        padded_send = max(
+                            -(-B_arr.shape[0] // block_n), S_S) * block_n
                     return slab_edge_message_aggregate(
-                        zero,
-                        (node_arr.astype(jnp.float32)
-                         if node_arr is not None else zero),
+                        zero, B_arr,
                         (edge_arr.astype(jnp.float32)
                          if edge_arr is not None else None),
                         jnp.zeros((dm,), jnp.float32),
                         recv_local, send_local, chunks, n_nodes, padded,
                         block_n, block_e, "identity",
-                        edge_arr is not None, interp)[:n_nodes]
+                        edge_arr is not None, interp,
+                        padded_send)[:n_nodes]
 
                 agg_parts = [slab_part(node_arr=x)]
                 if self.use_ids:
@@ -446,10 +469,12 @@ class GSNLayer(nn.Module):
                 import jax as _jax
 
                 from gsn_tpu.ops.pallas.slab_message import (
-                    S_S, slab_edge_message_aggregate)
+                    S_R, S_S, slab_edge_message_aggregate)
                 recv_local, chunks, block_n, send_local, _m = seg[:5]
                 block_e = recv_local.shape[0] // chunks.shape[1]
-                padded = max(-(-n_nodes // block_n), S_S) * block_n
+                padded = max(-(-n_nodes // block_n),
+                             S_R if self.ep_axis is not None else S_S
+                             ) * block_n
                 B_side = x
                 if self.use_ids and self.id_scope == "global":
                     # x + ids broadcasts to the wider of the two
@@ -463,13 +488,21 @@ class GSNLayer(nn.Module):
                     pe = jnp.broadcast_to(pe, (pe.shape[0], dm)) \
                         if pe.shape[-1] == 1 else pe + jnp.zeros((1, dm))
                 zero = jnp.zeros((n_nodes, dm), jnp.float32)
+                B_side = B_side.astype(jnp.float32)
+                padded_send = None
+                if self.ep_axis is not None:
+                    B_side = jax.lax.all_gather(
+                        B_side, self.ep_axis, axis=0, tiled=True)
+                    padded_send = max(
+                        -(-B_side.shape[0] // block_n), S_S) * block_n
                 agg = slab_edge_message_aggregate(
-                    zero, B_side.astype(jnp.float32),
+                    zero, B_side,
                     pe.astype(jnp.float32) if pe is not None else None,
                     jnp.zeros((dm,), jnp.float32),
                     recv_local, send_local, chunks, n_nodes, padded,
                     block_n, block_e, "relu", pe is not None,
-                    _jax.default_backend() == "cpu")[:n_nodes]
+                    _jax.default_backend() == "cpu",
+                    padded_send)[:n_nodes]
             else:
                 m = x_j
                 if self.use_ids:

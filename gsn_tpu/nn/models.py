@@ -23,6 +23,35 @@ from .filters import GSNLayer
 from .mlp import MLP, choose_activation
 
 
+class NodeDropout(nn.Module):
+    """Dropout over NODE rows that stays decorrelated across
+    edge-partition shards.
+
+    Under shard_map the 'dropout' PRNG key is replicated, so a plain
+    ``nn.Dropout`` on node-level features would draw the *same* mask
+    pattern in every node block (shards hold different rows — correlated
+    masks break the iid-dropout semantics the reference trains with,
+    models_graph_classification_ogb_original.py:242-245).  Folding the
+    key with ``lax.axis_index(ep_axis)`` gives each shard an independent
+    stream while graph-level dropout (replicated rows) keeps the shared
+    key.  Identical to nn.Dropout when ``ep_axis`` is None."""
+
+    rate: float
+    ep_axis: str = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if deterministic or self.rate == 0.0:
+            return x
+        key = self.make_rng("dropout")
+        if self.ep_axis is not None:
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(self.ep_axis))
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(key, p=keep, shape=x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 def _pool_fn(readout: str):
     if readout == "sum":
         return global_add_pool
@@ -260,11 +289,15 @@ class GNN_OGB(nn.Module):
                     x, nm, use_running_average=not train)
 
             # reference :242-245 — no activation on last conv layer
+            # (NodeDropout: per-shard decorrelated under edge
+            # partitioning, identical to nn.Dropout otherwise)
             if i == L - 1:
-                x = nn.Dropout(c.dropout_features[i])(
+                x = NodeDropout(c.dropout_features[i],
+                                ep_axis=data.ep_axis)(
                     x, deterministic=not train)
             else:
-                x = nn.Dropout(c.dropout_features[i])(
+                x = NodeDropout(c.dropout_features[i],
+                                ep_axis=data.ep_axis)(
                     act(x), deterministic=not train)
 
             if c.residual:

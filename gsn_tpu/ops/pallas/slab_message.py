@@ -46,20 +46,31 @@ S_S = 4   # sender window (node blocks)
 def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
                         edge_mask: np.ndarray, num_nodes: int,
                         block_n: int = 128,
-                        block_e: int = 256) -> Optional[Dict]:
+                        block_e: int = 256,
+                        num_send_nodes: Optional[int] = None
+                        ) -> Optional[Dict]:
     """Per-chunk metadata for dense recv-sorted edges.
 
+    ``num_send_nodes``: size of the SENDER index space when it differs
+    from the receiver space — under edge-partitioned execution
+    (parallel/ep.py) receivers are shard-local node ids while senders
+    are global ids into the all-gathered node array; default None means
+    one shared space (single-device layout).
+
     Returns dict with ``fb`` [C] (chunk's first recv block, clipped so
-    fb+S_R and window fit), ``wf`` [C] (sender window first block),
-    ``recv_local`` [E] in [0, S_R*block_n) or -1, ``send_local`` [E] in
-    [0, S_S*block_n) or -1 — or None when any chunk violates the spans.
+    fb+S_R fits the receiver space), ``wf`` [C] (sender window first
+    block, derived from the chunk's actual senders and clipped to the
+    sender space), ``recv_local`` [E] in [0, S_R*block_n) or -1,
+    ``send_local`` [E] in [0, S_S*block_n) or -1 — or None when any
+    chunk violates the spans.
     """
     E = len(recv)
     if E % block_e:
         return None
     num_blocks = -(-num_nodes // block_n)
-    # need at least the window sizes
-    if num_blocks < S_S:
+    send_blocks = (num_blocks if num_send_nodes is None
+                   else -(-num_send_nodes // block_n))
+    if num_blocks < S_R or send_blocks < S_S:
         return None
     C = E // block_e
     fb = np.zeros(C, np.int32)
@@ -67,12 +78,13 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
     recv_local = np.full(E, -1, np.int32)
     send_local = np.full(E, -1, np.int32)
     prev_fb = 0
+    prev_wf = 0
     for t in range(C):
         lo, hi = t * block_e, (t + 1) * block_e
         m = edge_mask[lo:hi]
         if not m.any():
             fb[t] = prev_fb
-            wf[t] = min(max(prev_fb - 1, 0), num_blocks - S_S)
+            wf[t] = prev_wf
             continue
         r = recv[lo:hi][m]
         s = send[lo:hi][m]
@@ -80,7 +92,10 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
         f = min(f, num_blocks - S_R)
         if (r.max() // block_n) - f >= S_R:
             return None           # receiver span too wide (sparse batch)
-        w = min(max(f - 1, 0), num_blocks - S_S)
+        # sender window anchored at the chunk's actual senders (disjoint
+        # -union batches give sender locality, so a 4-block window holds
+        # whenever each graph has <= block_n nodes)
+        w = min(int(s.min() // block_n), send_blocks - S_S)
         sl = s - w * block_n
         if (sl < 0).any() or (sl >= S_S * block_n).any():
             return None           # a graph exceeds block_n nodes
@@ -93,6 +108,7 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
         fb[t] = f
         wf[t] = w
         prev_fb = f
+        prev_wf = w
     return {"fb": fb, "wf": wf, "recv_local": recv_local,
             "send_local": send_local, "block_n": block_n,
             "block_e": block_e, "num_blocks": num_blocks}
@@ -162,6 +178,25 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
     db_slab_ref[...] = onehot_dot_t(oh_s, g_e)[None]
 
 
+def _at(arr, t):
+    """``arr[t]`` with ``t`` promoted to ``arr``'s varying mesh axes.
+
+    Inside a checked shard_map the scalar-prefetch arrays are
+    device-varying (vma={'ep'}) while the grid index is invariant;
+    dynamic_slice requires the vma to match, so lift ``t`` first.
+    No-op outside shard_map (vma empty / untracked)."""
+    try:
+        vma = jax.typeof(arr).vma
+    except Exception:
+        vma = None
+    if vma:
+        try:
+            t = jax.lax.pvary(t, tuple(vma))
+        except Exception:
+            pass
+    return arr[t]
+
+
 def _specs(block_e, block_n, d1):
     """Shared input specs: recv, send, Pe, A-span (2 blocks), B-window
     (4 blocks), bias."""
@@ -169,12 +204,16 @@ def _specs(block_e, block_n, d1):
         pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
         pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
         pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),
-        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (fb[t], 0)),
-        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (fb[t] + 1, 0)),
-        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (wf[t], 0)),
-        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (wf[t] + 1, 0)),
-        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (wf[t] + 2, 0)),
-        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (wf[t] + 3, 0)),
+        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (_at(fb, t), 0)),
+        pl.BlockSpec((block_n, d1),
+                     lambda t, fb, wf: (_at(fb, t) + 1, 0)),
+        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (_at(wf, t), 0)),
+        pl.BlockSpec((block_n, d1),
+                     lambda t, fb, wf: (_at(wf, t) + 1, 0)),
+        pl.BlockSpec((block_n, d1),
+                     lambda t, fb, wf: (_at(wf, t) + 2, 0)),
+        pl.BlockSpec((block_n, d1),
+                     lambda t, fb, wf: (_at(wf, t) + 3, 0)),
         pl.BlockSpec((1, d1), lambda t, fb, wf: (0, 0)),
     ]
 
@@ -205,25 +244,140 @@ def _pad_nodes(x, rows):
     return jnp.pad(x.astype(jnp.float32), ((0, rows - x.shape[0]), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+class _R:
+    """Read-only Ref stand-in for the interpret emulation."""
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __getitem__(self, k):
+        return self.v[k] if k is not Ellipsis else self.v
+
+
+class _W(_R):
+    """Writable Ref stand-in."""
+
+    def __init__(self):
+        self.v = None
+
+    def __setitem__(self, k, val):
+        self.v = val
+
+
+def _nb(arr, first_block, k, block_n):
+    """Node block ``first_block + k`` of ``arr`` (traced start index)."""
+    start = (first_block + k) * block_n
+    return jax.lax.dynamic_slice_in_dim(arr, start, block_n, axis=0)
+
+
+def _emu_fwd(fb, wf, recv3, send3, Pe, A, B, bias, block_n, block_e,
+             act, has_pe):
+    """Run ``_fwd_kernel`` chunk-by-chunk without pallas_call.
+
+    The interpret path must work INSIDE a checked shard_map (the EP
+    trainer), where pallas interpret mode trips over vma tracking in its
+    index-map re-evaluation; this emulation executes the identical
+    kernel body with plain traced slicing instead.  The Mosaic path is
+    exercised on hardware by scripts/tpu_smoke.py."""
+    C = recv3.shape[0]
+    slabs = []
+    for t in range(C):
+        out = _W()
+        _fwd_kernel(
+            None, None, _R(recv3[t:t + 1]), _R(send3[t:t + 1]),
+            _R(Pe[t * block_e:(t + 1) * block_e]),
+            _R(_nb(A, fb[t], 0, block_n)), _R(_nb(A, fb[t], 1, block_n)),
+            _R(_nb(B, wf[t], 0, block_n)), _R(_nb(B, wf[t], 1, block_n)),
+            _R(_nb(B, wf[t], 2, block_n)), _R(_nb(B, wf[t], 3, block_n)),
+            _R(bias), out, block_n=block_n, act=act, has_pe=has_pe)
+        slabs.append(out.v)
+    return jnp.concatenate(slabs, 0)
+
+
+def _emu_bwd(fb, wf, recv3, send3, Pe, A, B, bias, g, block_n, block_e,
+             act, has_pe):
+    C = recv3.shape[0]
+    dh, da, db = [], [], []
+    for t in range(C):
+        o_dh, o_da, o_db = _W(), _W(), _W()
+        _bwd_kernel(
+            None, None, _R(recv3[t:t + 1]), _R(send3[t:t + 1]),
+            _R(Pe[t * block_e:(t + 1) * block_e]),
+            _R(_nb(A, fb[t], 0, block_n)), _R(_nb(A, fb[t], 1, block_n)),
+            _R(_nb(B, wf[t], 0, block_n)), _R(_nb(B, wf[t], 1, block_n)),
+            _R(_nb(B, wf[t], 2, block_n)), _R(_nb(B, wf[t], 3, block_n)),
+            _R(bias), _R(_nb(g, fb[t], 0, block_n)),
+            _R(_nb(g, fb[t], 1, block_n)),
+            o_dh, o_da, o_db, block_n=block_n, act=act, has_pe=has_pe)
+        dh.append(o_dh.v)
+        da.append(o_da.v)
+        db.append(o_db.v)
+    return (jnp.concatenate(dh, 0), jnp.concatenate(da, 0),
+            jnp.concatenate(db, 0))
+
+
+def _match_vma(primal, cot):
+    """psum a cotangent over any mesh axes the primal does not vary on.
+
+    Under a checked shard_map, the transpose of an invariant->varying
+    broadcast is a psum; jax inserts it automatically for primitive ops
+    but trusts custom_vjp rules to do it themselves.  A replicated
+    parameter (e.g. the bias b1) consumed by varying per-shard edges
+    therefore needs its cotangent psum'd here — the value is also the
+    mathematically correct global gradient (sum over all shards' edges).
+    No-op outside shard_map."""
+    if cot is None or primal is None:
+        return cot
+    try:
+        extra = tuple(jax.typeof(cot).vma - jax.typeof(primal).vma)
+    except Exception:
+        return cot
+    return jax.lax.psum(cot, extra) if extra else cot
+
+
+def _out_struct(shape, dtype, *arrs):
+    """ShapeDtypeStruct whose `vma` (varying-mesh-axes) is the union of
+    the inputs' — required for pallas_call inside a checked shard_map
+    (the checker can't infer how a kernel's output varies)."""
+    vma = frozenset()
+    for a in arrs:
+        try:
+            vma = vma | jax.typeof(a).vma
+        except Exception:
+            continue
+    try:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    except TypeError:      # older jax: no vma kwarg
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def slab_edge_message_aggregate(
         A, B, Pe, b1,
         recv_local, send_local, fb_wf, num_real_nodes,
         num_nodes: int, block_n: int, block_e: int,
         act: str = "relu", has_pe: bool = True,
-        interpret: bool = False):
+        interpret: bool = False,
+        num_send_nodes: Optional[int] = None):
     """agg[v] = Σ_{e→v} act(A[recv]+B[send]+Pe+b1)   — dense edges.
 
-    fb_wf: stacked [2, C] of (fb, wf).  num_nodes: padded node rows
-    (multiple of block_n, >= S_S blocks).  Returns [num_nodes, d1]."""
+    fb_wf: stacked [2, C] of (fb, wf).  num_nodes: padded RECEIVER rows
+    (multiple of block_n, >= S_R blocks; >= S_S when the sender space is
+    shared).  num_send_nodes: padded SENDER rows when B lives in a
+    different index space (edge-partitioned execution gathers B globally
+    while A/out stay shard-local); None = shared space.  Returns
+    [num_nodes, d1]."""
     out, _ = _slab_fwd_impl(A, B, Pe if has_pe else None, b1, recv_local,
                             send_local, fb_wf, num_nodes, block_n,
-                            block_e, act, interpret)
+                            block_e, act, interpret, num_send_nodes)
     return out
 
 
 def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
-                   num_nodes, block_n, block_e, act, interpret):
+                   num_nodes, block_n, block_e, act, interpret,
+                   num_send_nodes=None):
     C = fb_wf.shape[1]
     d1 = A.shape[1]
     od = 2 * d1 if act == "id_sq" else d1   # joint [H, H^2] slabs
@@ -232,89 +386,125 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
     Pe_arr = (Pe.astype(jnp.float32) if has_pe
               else jnp.zeros((C * block_e, d1), jnp.float32))
     A = _pad_nodes(A, num_nodes)
-    B = _pad_nodes(B, num_nodes)
+    B = _pad_nodes(B, num_send_nodes
+                   if num_send_nodes is not None else num_nodes)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,   # fb, wf
-        grid=(C,),
-        in_specs=_specs(block_e, block_n, d1),
-        out_specs=pl.BlockSpec((1, S_R * block_n, od),
-                               lambda t, fb, wf: (t, 0, 0)),
-    )
-    slabs = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_n=block_n, act=act,
-                          has_pe=has_pe),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((C, S_R * block_n, od),
-                                       jnp.float32),
-        interpret=interpret,
-    )(fb_wf[0], fb_wf[1],
-      recv_local.reshape(C, 1, block_e), send_local.reshape(C, 1, block_e),
-      Pe_arr, A, A, B, B, B, B,
-      b1.reshape(1, d1).astype(jnp.float32))
+    if interpret:
+        # same kernel body, no pallas_call (shard_map-safe; Mosaic path
+        # validated on hardware by scripts/tpu_smoke.py)
+        slabs = _emu_fwd(fb_wf[0], fb_wf[1],
+                         recv_local.reshape(C, 1, block_e),
+                         send_local.reshape(C, 1, block_e),
+                         Pe_arr, A, B,
+                         b1.reshape(1, d1).astype(jnp.float32),
+                         block_n, block_e, act, has_pe)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # fb, wf
+            grid=(C,),
+            in_specs=_specs(block_e, block_n, d1),
+            out_specs=pl.BlockSpec((1, S_R * block_n, od),
+                                   lambda t, fb, wf: (t, 0, 0)),
+        )
+        slabs = pl.pallas_call(
+            functools.partial(_fwd_kernel, block_n=block_n, act=act,
+                              has_pe=has_pe),
+            grid_spec=grid_spec,
+            out_shape=_out_struct((C, S_R * block_n, od), jnp.float32,
+                                  A, B, Pe_arr, b1, recv_local,
+                                  send_local, fb_wf),
+            interpret=interpret,
+        )(fb_wf[0], fb_wf[1],
+          recv_local.reshape(C, 1, block_e),
+          send_local.reshape(C, 1, block_e),
+          Pe_arr, A, A, B, B, B, B,
+          b1.reshape(1, d1).astype(jnp.float32))
     out = _combine_slabs(slabs, fb_wf[0], S_R, num_blocks, block_n, od)
     return out, None
 
 
 def _slab_fwd(A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
-              num_nodes, block_n, block_e, act, has_pe, interpret):
+              num_nodes, block_n, block_e, act, has_pe, interpret,
+              num_send_nodes=None):
     out = slab_edge_message_aggregate(
         A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
-        num_nodes, block_n, block_e, act, has_pe, interpret)
+        num_nodes, block_n, block_e, act, has_pe, interpret,
+        num_send_nodes)
     return out, (A, B, Pe, b1, recv_local, send_local, fb_wf)
 
 
 def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
-              res, g):
+              num_send_nodes, res, g):
     A, B, Pe, b1, recv_local, send_local, fb_wf = res
     C = fb_wf.shape[1]
     d1 = A.shape[1]
     od = 2 * d1 if act == "id_sq" else d1   # incoming cotangent width
     num_blocks = num_nodes // block_n
+    num_send = num_send_nodes if num_send_nodes is not None else num_nodes
+    send_blocks = num_send // block_n
     Pe_arr = (Pe.astype(jnp.float32) if has_pe
               else jnp.zeros((C * block_e, d1), jnp.float32))
     A_p = _pad_nodes(A, num_nodes)
-    B_p = _pad_nodes(B, num_nodes)
+    B_p = _pad_nodes(B, num_send)
     g = jnp.pad(g.astype(jnp.float32),
                 ((0, num_nodes - g.shape[0]), (0, 0)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(C,),
-        in_specs=_specs(block_e, block_n, d1) + [
-            pl.BlockSpec((block_n, od), lambda t, fb, wf: (fb[t], 0)),
-            pl.BlockSpec((block_n, od), lambda t, fb, wf: (fb[t] + 1, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),
-            pl.BlockSpec((1, S_R * block_n, d1),
-                         lambda t, fb, wf: (t, 0, 0)),
-            pl.BlockSpec((1, S_S * block_n, d1),
-                         lambda t, fb, wf: (t, 0, 0)),
-        ],
-    )
-    dH, da_slabs, db_slabs = pl.pallas_call(
-        functools.partial(_bwd_kernel, block_n=block_n, act=act,
-                          has_pe=has_pe),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((C * block_e, d1), jnp.float32),
-            jax.ShapeDtypeStruct((C, S_R * block_n, d1), jnp.float32),
-            jax.ShapeDtypeStruct((C, S_S * block_n, d1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(fb_wf[0], fb_wf[1],
-      recv_local.reshape(C, 1, block_e), send_local.reshape(C, 1, block_e),
-      Pe_arr, A_p, A_p, B_p, B_p, B_p, B_p,
-      b1.reshape(1, d1).astype(jnp.float32), g, g)
+    if interpret:
+        dH, da_slabs, db_slabs = _emu_bwd(
+            fb_wf[0], fb_wf[1],
+            recv_local.reshape(C, 1, block_e),
+            send_local.reshape(C, 1, block_e),
+            Pe_arr, A_p, B_p,
+            b1.reshape(1, d1).astype(jnp.float32), g,
+            block_n, block_e, act, has_pe)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(C,),
+            in_specs=_specs(block_e, block_n, d1) + [
+                pl.BlockSpec((block_n, od),
+                             lambda t, fb, wf: (_at(fb, t), 0)),
+                pl.BlockSpec((block_n, od),
+                             lambda t, fb, wf: (_at(fb, t) + 1, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),
+                pl.BlockSpec((1, S_R * block_n, d1),
+                             lambda t, fb, wf: (t, 0, 0)),
+                pl.BlockSpec((1, S_S * block_n, d1),
+                             lambda t, fb, wf: (t, 0, 0)),
+            ],
+        )
+        dH, da_slabs, db_slabs = pl.pallas_call(
+            functools.partial(_bwd_kernel, block_n=block_n, act=act,
+                              has_pe=has_pe),
+            grid_spec=grid_spec,
+            out_shape=[
+                _out_struct((C * block_e, d1), jnp.float32,
+                            A_p, B_p, Pe_arr, b1, recv_local, send_local,
+                            fb_wf, g),
+                _out_struct((C, S_R * block_n, d1), jnp.float32,
+                            A_p, B_p, Pe_arr, b1, recv_local, send_local,
+                            fb_wf, g),
+                _out_struct((C, S_S * block_n, d1), jnp.float32,
+                            A_p, B_p, Pe_arr, b1, recv_local, send_local,
+                            fb_wf, g),
+            ],
+            interpret=interpret,
+        )(fb_wf[0], fb_wf[1],
+          recv_local.reshape(C, 1, block_e),
+          send_local.reshape(C, 1, block_e),
+          Pe_arr, A_p, A_p, B_p, B_p, B_p, B_p,
+          b1.reshape(1, d1).astype(jnp.float32), g, g)
 
     dA = _combine_slabs(da_slabs, fb_wf[0], S_R, num_blocks, block_n,
                         d1)[:A.shape[0]]
-    dB = _combine_slabs(db_slabs, fb_wf[1], S_S, num_blocks, block_n,
+    dB = _combine_slabs(db_slabs, fb_wf[1], S_S, send_blocks, block_n,
                         d1)[:B.shape[0]]
     db1 = jnp.sum(dH, axis=0)
     dPe = dH if has_pe else None
-    return (dA, dB, dPe, db1, None, None, None, None)
+    return (_match_vma(A, dA), _match_vma(B, dB), _match_vma(Pe, dPe),
+            _match_vma(b1, db1), None, None, None, None)
 
 
 slab_edge_message_aggregate.defvjp(_slab_fwd, _slab_bwd)

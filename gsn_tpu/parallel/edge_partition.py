@@ -180,13 +180,20 @@ def partition_edges_ring(
     edge_index: np.ndarray,    # [2, E] global ids, recv row 0
     num_nodes: int,
     num_devices: int,
-) -> Dict[str, np.ndarray]:
-    """Bucket each device's received edges by the *source* shard, padded
-    to a common per-(device, hop) capacity.
+) -> Dict[str, tuple]:
+    """Bucket each device's received edges by the *source* shard, with a
+    PER-HOP capacity: hop k on device d processes bucket
+    ``(d, (d - k) % D)`` whose senders live in the shard d holds at that
+    step; ``cap_k = max_d |bucket(d, (d-k)%D)|``.
 
-    Returns arrays with leading axes [D, D, Ecap]: hop k on device d
-    processes bucket ``(d, (d - k) % D)`` whose senders live in the
-    shard d holds at that step.
+    Per-hop (not uniform) capacities matter enormously for
+    disjoint-union batches: each graph lives inside one shard, so the
+    k=0 (local) bucket carries ~all edges and the remaining hops are
+    near-empty — a uniform capacity (the r2 layout) padded every hop to
+    the diagonal's size and inflated per-device work ~D-fold
+    (SCALING_r02.json ring 0.091 vs allgather 0.195 @ D=8).
+
+    Returns dict of LISTS (length D, one per hop) of [D, cap_k] arrays.
     """
     if num_nodes % num_devices:
         raise ValueError("num_nodes must be divisible by num_devices")
@@ -199,22 +206,28 @@ def partition_edges_ring(
         d = recv[e] // block
         s = send[e] // block
         buckets[d][s].append(e)
-    cap = max((len(b) for row in buckets for b in row), default=1)
-    cap = max(((cap + 127) // 128) * 128, 128)
 
-    recv_local = np.zeros((D, D, cap), np.int32)
-    send_local = np.zeros((D, D, cap), np.int32)
-    mask = np.zeros((D, D, cap), bool)
-    for d in range(D):
-        for k in range(D):
+    recv_local, send_local, mask = [], [], []
+    for k in range(D):
+        cap = max((len(buckets[d][(d - k) % D]) for d in range(D)),
+                  default=1)
+        cap = max(((cap + 127) // 128) * 128, 128)
+        rl = np.zeros((D, cap), np.int32)
+        sl = np.zeros((D, cap), np.int32)
+        m = np.zeros((D, cap), bool)
+        for d in range(D):
             s = (d - k) % D
             idx = buckets[d][s]
             n = len(idx)
-            recv_local[d, k, :n] = recv[idx] - d * block
-            send_local[d, k, :n] = send[idx] - s * block
-            mask[d, k, :n] = True
-    return {"recv_local": recv_local, "send_local": send_local,
-            "edge_mask": mask, "node_block": block}
+            rl[d, :n] = recv[idx] - d * block
+            sl[d, :n] = send[idx] - s * block
+            m[d, :n] = True
+        recv_local.append(rl)
+        send_local.append(sl)
+        mask.append(m)
+    return {"recv_local": tuple(recv_local),
+            "send_local": tuple(send_local),
+            "edge_mask": tuple(mask), "node_block": block}
 
 
 def ring_edge_partitioned_propagate(
@@ -225,41 +238,25 @@ def ring_edge_partitioned_propagate(
     """out[v] = sum_e message_fn(x[recv(e)], x[send(e)]) with node shards
     rotating around the ring: hop k processes the edges whose senders
     live in the shard currently held, then permutes the shard onward.
-    Peak memory is 2 node shards (vs the full all-gather)."""
+    Peak memory is 2 node shards (vs the full all-gather).  The hop loop
+    is UNROLLED (D is static) so each hop keeps its own edge capacity
+    and XLA's latency-hiding scheduler can slide each ppermute under the
+    previous hop's segment-sum on hardware backends."""
 
-    def local(x_shard, recv_local, send_local, edge_mask):
-        recv_local = recv_local[0]     # [D, Ecap]
-        send_local = send_local[0]
-        edge_mask = edge_mask[0]
+    D = mesh.devices.size
+
+    def local(x_shard, recvs, sends, masks):
         block = x_shard.shape[0]
-        D = jax.lax.psum(1, axis)
-
-        def hop(k, carry):
-            agg, held = carry
-            r = jax.lax.dynamic_index_in_dim(recv_local, k, 0,
-                                             keepdims=False)
-            s = jax.lax.dynamic_index_in_dim(send_local, k, 0,
-                                             keepdims=False)
-            m = jax.lax.dynamic_index_in_dim(edge_mask, k, 0,
-                                             keepdims=False)
+        agg = None
+        held = x_shard
+        for k in range(D):
+            r, s, m = recvs[k][0], sends[k][0], masks[k][0]
             msgs = message_fn(x_shard[r], held[s])
-            agg = agg + masked_segment_sum(msgs, r, block, m)
-            # rotate shards: device d sends its held shard to d+1
-            held = jax.lax.ppermute(
-                held, axis,
-                [(i, (i + 1) % D) for i in range(mesh.devices.size)])
-            return agg, held
-
-        d_msg = message_fn(x_shard[:1], x_shard[:1]).shape[-1]
-        agg0 = jnp.zeros((block, d_msg), jnp.float32)
-        # the carry becomes device-varying after the first hop; mark the
-        # initial zeros accordingly (shard_map varying-axes tracking)
-        try:
-            agg0 = jax.lax.pvary(agg0, (axis,))
-        except AttributeError:
-            pass
-        agg, _ = jax.lax.fori_loop(0, mesh.devices.size, hop,
-                                   (agg0, x_shard))
+            part = masked_segment_sum(msgs, r, block, m)
+            agg = part if agg is None else agg + part
+            if k < D - 1:   # final hop needs no rotation
+                held = jax.lax.ppermute(
+                    held, axis, [(i, (i + 1) % D) for i in range(D)])
         return agg
 
     return jax.jit(shard_map(

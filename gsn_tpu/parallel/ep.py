@@ -39,10 +39,41 @@ from gsn_tpu.train.metrics import LOSSES
 from gsn_tpu.train.optim import make_optimizer
 
 
+def _unvary_graph_level(data: GraphBatch, axis: str) -> GraphBatch:
+    """Re-mark the tiled graph-level arrays as mesh-invariant.
+
+    ``make_ep_batch`` replicates y/graph_mask by tiling, so they enter
+    shard_map with vma={axis} even though every copy is identical; BN
+    statistics over the (replicated) virtual-node rows then look varying
+    and the checker cannot prove the updated batch_stats replicated.  A
+    pmax of identical copies is the value itself and is
+    variant->invariant, restoring the provable replication (negligible
+    cost: [G]-sized arrays once per step)."""
+    def inv(a):
+        if a is None:
+            return None
+        if a.dtype == jnp.bool_:
+            return jax.lax.pmax(a.astype(jnp.int8), axis) > 0
+        return jax.lax.pmax(a, axis)
+
+    return dataclasses.replace(data, y=inv(data.y),
+                               graph_mask=inv(data.graph_mask))
+
+
+def _shard_map_no_vma(f, **kw):
+    """Checked shard_map (vma tracking on).  The Pallas kernels annotate
+    their out_shapes with the union of input vma so the checker accepts
+    kernel launches inside the sharded region (check_vma=False is NOT a
+    workable alternative: grad-of-psum then fails the transpose-side vma
+    check in jax 0.9)."""
+    return shard_map(f, **kw)
+
+
 def make_ep_batch(data: GraphBatch, num_devices: int,
                   flow: str = "source_to_target",
                   axis: str = "ep",
-                  ids_on_edges: bool | None = None) -> GraphBatch:
+                  ids_on_edges: bool | None = None,
+                  mxu_layout: Optional[Dict] = None) -> GraphBatch:
     """Re-shape one padded GraphBatch into per-device edge-partitioned
     shards stacked on a leading device axis.
 
@@ -50,7 +81,14 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
     receiver-partitioned to [D, Ecap, ...] with ``edge_index`` rows
     (local receiver, global sender); graph-level arrays are tiled
     (replicated).  ``flow`` picks the receiver row exactly as
-    ``GSNLayer`` would (reference GSN_sparse.py:125-128)."""
+    ``GSNLayer`` would (reference GSN_sparse.py:125-128).
+
+    ``mxu_layout={"mode": "slab", ...}`` additionally builds PER-SHARD
+    slab-kernel metadata (split receiver/sender index spaces: local
+    receivers, global senders into the all-gathered send rows) so the
+    edge-partitioned step runs the Pallas fused path; on any span
+    violation the metadata is dropped and the step falls back to the
+    standard segment ops."""
     N = data.num_node_slots
     if N % num_devices:
         raise ValueError(f"node cap {N} not divisible by {num_devices}")
@@ -62,9 +100,12 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
     select = 0 if flow == "target_to_source" else 1
     recv_g, send_g = ei[select], ei[1 - select]
 
+    slab = (mxu_layout is not None
+            and mxu_layout.get("mode", "slab") == "slab")
+    block_e = mxu_layout.get("block_e", 256) if slab else 128
     sel = [(recv_g // block == d) & em for d in range(D)]
     e_cap = max(int(s.sum()) for s in sel)
-    e_cap = max(((e_cap + 127) // 128) * 128, 128)
+    e_cap = max(-(-e_cap // block_e) * block_e, block_e)
 
     def node_part(arr):
         if arr is None:
@@ -101,6 +142,42 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
             out[d, : len(rows)] = rows[order]
         return out
 
+    # per-shard slab-kernel metadata: receiver space = this shard's node
+    # block (padded), sender space = the all-gathered global rows (padded)
+    seg_recv_local = seg_chunks = seg_send_local = seg_in_degree = None
+    seg_block_n = None
+    seg_mode = None
+    if slab:
+        from gsn_tpu.ops.pallas.slab_message import (S_R, S_S,
+                                                     build_slab_metadata)
+        block_n = mxu_layout.get("block_n", 128)
+        pad_recv = max(-(-block // block_n), S_R) * block_n
+        pad_send = max(-(-N // block_n), S_S) * block_n
+        C = e_cap // block_e
+        rl = np.zeros((D, e_cap), np.int32)
+        sl = np.zeros((D, e_cap), np.int32)
+        fbwf = np.zeros((D, 2, C), np.int32)
+        indeg = np.zeros((D, block), np.float32)
+        ok = True
+        for d in range(D):
+            meta = build_slab_metadata(
+                ei_local[d, 0], ei_local[d, 1], mask[d], pad_recv,
+                block_n, block_e, num_send_nodes=pad_send)
+            if meta is None:
+                ok = False
+                break
+            rl[d] = meta["recv_local"]
+            sl[d] = meta["send_local"]
+            fbwf[d] = np.stack([meta["fb"], meta["wf"]])
+            indeg[d] = np.bincount(ei_local[d, 0][mask[d]],
+                                   minlength=block)[:block]
+        if ok:
+            seg_recv_local, seg_send_local = rl, sl
+            seg_chunks = fbwf
+            seg_in_degree = indeg
+            seg_block_n = block_n
+            seg_mode = "slab"
+
     # node- vs edge-level identifiers: same disambiguation rule as
     # batch_graphs (container.py) — row count matching edges AND not
     # matching nodes; when caps bucket to the same value the shape is
@@ -130,6 +207,12 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
         edge_features=edge_part_sorted(data.edge_features),
         node_eig=node_part(data.node_eig),
         edge_eig=edge_part_sorted(data.edge_eig),
+        seg_recv_local=seg_recv_local,
+        seg_chunks=seg_chunks,
+        seg_send_local=seg_send_local,
+        seg_block_n=seg_block_n,
+        seg_mode=seg_mode,
+        seg_in_degree=seg_in_degree,
         ep_axis=axis,
     )
 
@@ -150,10 +233,10 @@ class EdgePartitionedTrainer:
 
         shard = P(axis)
         rep = P()
-        self._train_step = jax.jit(shard_map(
+        self._train_step = jax.jit(_shard_map_no_vma(
             self._step_local, mesh=mesh,
             in_specs=(rep, shard, rep, rep), out_specs=(rep, rep)))
-        self._forward = jax.jit(shard_map(
+        self._forward = jax.jit(_shard_map_no_vma(
             self._forward_local, mesh=mesh,
             in_specs=(rep, rep, shard), out_specs=rep))
 
@@ -175,6 +258,7 @@ class EdgePartitionedTrainer:
     # ------------------------------------------------------------------
     def _forward_local(self, params, batch_stats, data: GraphBatch):
         data = jax.tree_util.tree_map(lambda x: x[0], data)
+        data = _unvary_graph_level(data, self.axis)
         return self.model.apply(
             {"params": params, "batch_stats": batch_stats}, data,
             train=False)
@@ -204,12 +288,14 @@ class EdgePartitionedTrainer:
     # ------------------------------------------------------------------
     def _step_local(self, state: TrainState, data: GraphBatch, lr, key):
         data = jax.tree_util.tree_map(lambda x: x[0], data)
-        # NB: key is NOT folded by device — graph-level dropout acts on
-        # replicated pooled features, so masks must agree across shards.
-        # Known limitation: NODE-level dropout (GNN_OGB dropout_features)
-        # therefore draws the same mask pattern in every node block
-        # (correlated across shards).  Exact only for dropout == 0; use
-        # DP or single-device for dropout-regularized OGB training.
+        data = _unvary_graph_level(data, self.axis)
+        # The key is NOT folded by device here: graph-level dropout acts
+        # on replicated pooled features, so those masks must agree across
+        # shards.  NODE-level dropout (GNN_OGB dropout_features) is
+        # decorrelated per shard INSIDE the model — NodeDropout folds the
+        # key with lax.axis_index(ep_axis) (nn/models.py) — so
+        # dropout-regularized OGB training runs edge-partitioned with iid
+        # masks (tests/test_ep_model.py::test_ep_node_dropout_decorrelated).
         rngs = {"dropout": key,
                 "random_features": jax.random.fold_in(key, 1)}
 
@@ -244,6 +330,7 @@ class EdgePartitionedTrainer:
 
         def local(params, batch_stats, data):
             data = jax.tree_util.tree_map(lambda x: x[0], data)
+            data = _unvary_graph_level(data, self.axis)
 
             def lw(p):
                 out, _ = self.model.apply(
@@ -254,7 +341,7 @@ class EdgePartitionedTrainer:
 
             return jax.grad(lw)(params)
 
-        fn = jax.jit(shard_map(local, mesh=self.mesh,
-                               in_specs=(P(), P(), P(self.axis)),
-                               out_specs=P()))
+        fn = jax.jit(_shard_map_no_vma(local, mesh=self.mesh,
+                                       in_specs=(P(), P(), P(self.axis)),
+                                       out_specs=P()))
         return fn(state.params, state.batch_stats, ep_batch)

@@ -32,6 +32,7 @@ def main():
                     help="graphs in the full-model scaling workload")
     ap.add_argument("--model_iters", type=int, default=10)
     ap.add_argument("--skip_primitives", action="store_true")
+    ap.add_argument("--skip_model", action="store_true")
     ap.add_argument("--out", default=None,
                     help="also append JSON lines to this file")
     args = ap.parse_args()
@@ -74,6 +75,8 @@ def main():
 
     # ---- full-model scaling: the real GSN train step, edge-partitioned
     # (VERDICT r1 item 4: bench the workload, not a toy message) --------
+    if args.skip_model:
+        _run_primitives_only = True
     import bench as bench_mod
     from gsn_tpu.config import GSNConfig
     from gsn_tpu.graphs.batching import iterate_batches, tight_epoch_caps
@@ -97,33 +100,42 @@ def main():
                                 y_shape=(), y_dtype=np.float32))
     real_edges = int(np.asarray(data.edge_mask).sum())
 
-    model_base = None
-    for D in dev_counts:
+    model_base = {}
+    for D in (() if args.skip_model else dev_counts):
         mesh = make_mesh(D, axis_names=("ep",))
         ept = EdgePartitionedTrainer(cfg, mesh, lr=1e-3, loss_fn="L1Loss")
         from jax.sharding import NamedSharding, PartitionSpec as P
-        ep_batch = jax.device_put(
-            make_ep_batch(data, D, flow=cfg.flow),
-            NamedSharding(mesh, P("ep")))   # ship once, outside the timing
-        state = ept.init_state(ep_batch, seed=0)
-        key = jax.random.PRNGKey(0)
-        state, loss = ept.train_step(state, ep_batch, 1e-3, key)
-        rtt = fetch_rtt(loss)
-        t0 = time.perf_counter()
-        for _ in range(args.model_iters):
+        for tag, layout in (("full_model_train_step", None),
+                            ("full_model_train_step_slab",
+                             {"mode": "slab", "block_n": 128,
+                              "block_e": 256})):
+            ep_batch = make_ep_batch(data, D, flow=cfg.flow,
+                                     mxu_layout=layout)
+            if layout is not None and ep_batch.seg_mode != "slab":
+                emit({"variant": tag, "devices": D,
+                      "error": "slab metadata unavailable"})
+                continue
+            ep_batch = jax.device_put(
+                ep_batch,
+                NamedSharding(mesh, P("ep")))  # ship once, untimed
+            state = ept.init_state(ep_batch, seed=0)
+            key = jax.random.PRNGKey(0)
             state, loss = ept.train_step(state, ep_batch, 1e-3, key)
-        device_sync(loss)
-        dt = (time.perf_counter() - t0 - rtt) / args.model_iters
-        rate = real_edges / dt
-        if D == 1:
-            model_base = rate
-        # fixed global problem size: ideal rate is flat, so efficiency
-        # is rate/base (strong scaling); on the virtual CPU mesh the
-        # devices share host cores, so treat numbers as mechanics-only
-        eff = rate / (model_base or rate)
-        emit({"variant": "full_model_train_step", "devices": D,
-              "edges_per_s": round(rate, 1),
-              "strong_scaling_speedup": round(eff, 3)})
+            rtt = fetch_rtt(loss)
+            t0 = time.perf_counter()
+            for _ in range(args.model_iters):
+                state, loss = ept.train_step(state, ep_batch, 1e-3, key)
+            device_sync(loss)
+            dt = (time.perf_counter() - t0 - rtt) / args.model_iters
+            rate = real_edges / dt
+            model_base.setdefault(tag, rate)
+            # fixed global problem size: ideal rate is flat, so
+            # efficiency is rate/base (strong scaling); on the virtual
+            # CPU mesh devices share host cores -> mechanics-only
+            eff = rate / model_base[tag]
+            emit({"variant": tag, "devices": D,
+                  "edges_per_s": round(rate, 1),
+                  "strong_scaling_speedup": round(eff, 3)})
 
     if args.skip_primitives:
         if args.out:
@@ -131,39 +143,48 @@ def main():
                 f.write("\n".join(records) + "\n")
         return
 
+    # block-diagonal "molecular batch" structure: senders within +-12 of
+    # their receiver (disjoint-union locality), vs uniform random where
+    # every (shard, shard) bucket carries ~E/D^2 edges
+    bd_send = np.clip(edge_index[0] + rng.randint(-12, 13, E), 0,
+                      args.num_nodes - 1)
+    edge_index_bd = np.stack([edge_index[0], bd_send]).astype(np.int64)
+
     for D in dev_counts:
         mesh = Mesh(np.array(devices[:D]), ("ep",))
-        for variant, part_fn, prop_fn in (
-                ("allgather", partition_edges_by_receiver,
-                 edge_partitioned_propagate),
-                ("ring", partition_edges_ring,
-                 ring_edge_partitioned_propagate)):
-            if variant == "allgather":
-                parts = part_fn(edge_index, args.num_nodes, D)
-                arrs = (jnp.asarray(x), jnp.asarray(parts["recv_local"]),
-                        jnp.asarray(parts["send_global"]),
-                        jnp.asarray(parts["edge_mask"]))
-            else:
-                parts = part_fn(edge_index, args.num_nodes, D)
-                arrs = (jnp.asarray(x), jnp.asarray(parts["recv_local"]),
-                        jnp.asarray(parts["send_local"]),
-                        jnp.asarray(parts["edge_mask"]))
-            prop = prop_fn(mesh, lambda xi, xj: xi * 0.5 + xj)
-            out = prop(*arrs)
-            rtt = fetch_rtt(out)
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
+        for gname, ei in (("uniform", edge_index),
+                          ("blockdiag", edge_index_bd)):
+            for variant, part_fn, prop_fn in (
+                    ("allgather", partition_edges_by_receiver,
+                     edge_partitioned_propagate),
+                    ("ring", partition_edges_ring,
+                     ring_edge_partitioned_propagate)):
+                if variant == "allgather":
+                    parts = part_fn(ei, args.num_nodes, D)
+                    arrs = (jnp.asarray(x),
+                            jnp.asarray(parts["recv_local"]),
+                            jnp.asarray(parts["send_global"]),
+                            jnp.asarray(parts["edge_mask"]))
+                else:
+                    parts = part_fn(ei, args.num_nodes, D)
+                    arrs = (jnp.asarray(x), parts["recv_local"],
+                            parts["send_local"], parts["edge_mask"])
+                prop = prop_fn(mesh, lambda xi, xj: xi * 0.5 + xj)
                 out = prop(*arrs)
-            device_sync(out)
-            dt = (time.perf_counter() - t0 - rtt) / args.iters
-            rate = E / dt
-            key = variant
-            if D == 1:
-                base_rate[key] = rate
-            eff = rate / (D * base_rate.get(key, rate))
-            emit({"variant": variant, "devices": D,
-                  "edges_per_s": round(rate, 1),
-                  "scaling_efficiency": round(eff, 3)})
+                rtt = fetch_rtt(out)
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = prop(*arrs)
+                device_sync(out)
+                dt = (time.perf_counter() - t0 - rtt) / args.iters
+                rate = E / dt
+                key = f"{variant}-{gname}"
+                if D == 1:
+                    base_rate[key] = rate
+                eff = rate / (D * base_rate.get(key, rate))
+                emit({"variant": key, "devices": D,
+                      "edges_per_s": round(rate, 1),
+                      "scaling_efficiency": round(eff, 3)})
 
     if args.out:
         with open(args.out, "a") as f:

@@ -67,9 +67,8 @@ def test_ring_propagate_matches_single():
     prop = ring_edge_partitioned_propagate(
         mesh, lambda xi, xj: jnp.tanh(xi) + 2.0 * xj)
     got = np.asarray(prop(
-        jnp.asarray(x), jnp.asarray(parts["recv_local"]),
-        jnp.asarray(parts["send_local"]),
-        jnp.asarray(parts["edge_mask"])))
+        jnp.asarray(x), parts["recv_local"], parts["send_local"],
+        parts["edge_mask"]))
 
     want = np.asarray(masked_segment_sum(
         jnp.tanh(jnp.asarray(x)[ei[0]]) + 2.0 * jnp.asarray(x)[ei[1]],
