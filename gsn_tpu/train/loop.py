@@ -53,7 +53,9 @@ class TrainerConfig:
     shuffle: bool = True
     caps_mode: str = "worst"   # 'worst' = one shape forever; 'tight' =
     #                            per-epoch bucketed caps (skewed datasets)
-    use_mxu_segment_sum: bool = False  # Pallas MXU aggregation layout
+    # Pallas kernel edge layout: False = plain XLA; True = "slab" (the
+    # fast v2 layout); or a mode string ("slab" / "aligned")
+    use_mxu_segment_sum: object = False
     scan_epochs: bool = True   # run each epoch as ONE lax.scan dispatch
     #   (contiguous same-shape batch runs).  Small-graph workloads are
     #   dispatch-latency-bound on TPU (~100 ms/RPC through the remote
@@ -80,11 +82,19 @@ class Trainer:
         self.caps = (epoch_caps(graphs_train, tcfg.batch_size)
                      if tcfg.caps_mode == "worst" else None)
         self.y_shape, self.y_dtype = infer_y_spec(graphs_train)
-        self.mxu_layout = ({"flow": self.model_cfg.flow
-                            if hasattr(self.model_cfg, "flow")
-                            else "source_to_target",
-                            "block_n": 256, "block_e": 256}
-                           if tcfg.use_mxu_segment_sum else None)
+        # use_mxu_segment_sum: True -> "slab" (the fast v2 layout,
+        # PERFORMANCE.md); or the layout-mode string ("slab"/"aligned")
+        self.mxu_layout = None
+        if tcfg.use_mxu_segment_sum:
+            mode = ("slab" if tcfg.use_mxu_segment_sum is True
+                    else str(tcfg.use_mxu_segment_sum))
+            self.mxu_layout = {
+                "mode": mode,
+                "flow": (self.model_cfg.flow
+                         if hasattr(self.model_cfg, "flow")
+                         else "source_to_target"),
+                "block_n": 128 if mode == "slab" else 256,
+                "block_e": 256}
         self.rng = np.random.RandomState(tcfg.seed)
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_eval_step = jax.jit(self._eval_step)

@@ -40,13 +40,15 @@ def timed(fn, *a):
 
 
 def main():
-    summary = {"backend": jax.default_backend()}
+    bf16 = "--bf16" in sys.argv
+    summary = {"backend": jax.default_backend(), "bf16": bf16}
     graphs, d_id = make_zinc_like(BATCH_GRAPHS)
     cfg = GSNConfig(
         model_name="GSN_edge_sparse", num_layers=4, d_out=128,
         out_features=1, msg_kind="general", id_scope="global", bn_mlp=False,
         id_embedding="one_hot_encoder", input_node_encoder="embedding",
         edge_encoder="embedding", readout="sum",
+        compute_dtype="bfloat16" if bf16 else None,
         in_features=1, d_in_node_encoder=[28], d_in_edge_encoder=[4],
         d_in_id=d_id)
     tcfg = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
@@ -90,7 +92,8 @@ def main():
         (time.perf_counter() - t0 - rtt) / ITERS * 1e3, 2)
 
     # --- trace a few steps of each ------------------------------------
-    trace_dir = "/root/repo/profiles/step"
+    trace_dir = ("/root/repo/profiles/step_bf16" if bf16
+                 else "/root/repo/profiles/step")
     os.makedirs(trace_dir, exist_ok=True)
     with jax.profiler.trace(trace_dir):
         for _ in range(5):

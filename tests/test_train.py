@@ -3,6 +3,7 @@ scheduler semantics, checkpoint round-trip."""
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -174,3 +175,40 @@ def test_scan_epochs_match_loop(synthetic_prepared):
                                    rtol=1e-6, atol=1e-6)
     assert l_scan == pytest.approx(l_loop, rel=1e-6)
     assert a_scan == pytest.approx(a_loop, rel=1e-6)
+
+
+def test_trainer_use_mxu_slab_matches_plain(synthetic_prepared):
+    """TrainerConfig(use_mxu_segment_sum=True) routes batches through
+    the slab kernel layout (the CLI --use_mxu path); losses must match
+    the plain-XLA trainer step to float tolerance."""
+    graphs, d_id = synthetic_prepared
+    cfg = GSNConfig(
+        model_name="GSN_sparse", num_layers=2, d_out=16, out_features=2,
+        msg_kind="general", id_scope="global",
+        id_embedding="one_hot_encoder", bn=True, readout="sum",
+        in_features=1, d_in_id=d_id)
+    common = dict(lr=0.01, num_epochs=2, batch_size=16,
+                  scheduler="None", eval_frequency=1, caps_mode="worst",
+                  shuffle=False)
+    t_plain = Trainer(cfg, TrainerConfig(**common), graphs)
+    t_slab = Trainer(cfg, TrainerConfig(use_mxu_segment_sum=True,
+                                        **common), graphs)
+    assert t_slab.mxu_layout["mode"] == "slab"
+
+    ex_p = next(iterate_batches(graphs, 16, caps=t_plain.caps))
+    ex_s = next(iterate_batches(graphs, 16, caps=t_slab.caps,
+                                mxu_layout=t_slab.mxu_layout))
+    assert ex_s.seg_mode == "slab"
+    state_p = t_plain.init_state(ex_p, seed=0)
+    state_s = t_slab.init_state(ex_s, seed=0)
+    # single-step loss is float-exact across the layouts; whole loss
+    # TRAJECTORIES are not comparable (Adam turns 1e-5 gradient noise
+    # into lr-sized sign flips on near-zero leaves — see CLAUDE.md)
+    key = jax.random.PRNGKey(0)
+    _, loss_p = t_plain._jit_train_step(state_p, ex_p, 1e-3, key)
+    _, loss_s = t_slab._jit_train_step(state_s, ex_s, 1e-3, key)
+    np.testing.assert_allclose(float(loss_s), float(loss_p), rtol=2e-5)
+    # and the slab-layout trainer must still learn the synthetic task
+    ss, hist_s = t_slab.fit(state_s, graphs[:48], graphs[48:],
+                            log_fn=None)
+    assert np.isfinite(hist_s["train_losses"]).all()
