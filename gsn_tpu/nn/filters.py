@@ -125,16 +125,22 @@ class EdgeMessageMLP(nn.Module):
              in_deg) = fused_seg
             block_e = recv_local.shape[0] // cwf.shape[1]
             interpret = jax.default_backend() == "cpu"
-            zero = jnp.zeros((n_nodes, d1), jnp.float32)
-            A_in = (A if A is not None else zero).astype(jnp.float32)
-            B_in = (B if B is not None else zero).astype(jnp.float32)
+            # compute_dtype=bfloat16: keep kernel data bf16 so every
+            # one-hot dot is a single MXU pass (onehot_dot dispatches on
+            # dtype; aggregation still accumulates f32)
+            kdt = (jnp.bfloat16 if self.dtype == jnp.bfloat16
+                   else jnp.float32)
+            ddt = "bfloat16" if kdt == jnp.bfloat16 else "float32"
+            zero = jnp.zeros((n_nodes, d1), kdt)
+            A_in = (A if A is not None else zero).astype(kdt)
+            B_in = (B if B is not None else zero).astype(kdt)
             if self.ep_axis is not None:
                 # edge-partitioned: senders are GLOBAL ids into the
                 # all-gathered post-projection rows; the shard_map
                 # transpose turns this gather into a reduce-scatter of dB
                 B_in = jax.lax.all_gather(B_in, self.ep_axis, axis=0,
                                           tiled=True)
-            pe_in = pe.astype(jnp.float32) if pe is not None else None
+            pe_in = pe.astype(kdt) if pe is not None else None
             b_eff = bias.astype(jnp.float32)
             # a single-dense MLP has no hidden activation (reference
             # models_misc.mlp applies act between layers only)
@@ -161,7 +167,7 @@ class EdgeMessageMLP(nn.Module):
                             A_in, B_in, pe_in, b_eff, recv_local,
                             send_local, cwf, n_nodes, padded, block_n,
                             block_e, "id_sq", pe is not None,
-                            interpret, padded_send)[:n_nodes]
+                            interpret, padded_send, ddt)[:n_nodes]
                         n_e = (jnp.sum(in_deg[:n_nodes])
                                if in_deg is not None
                                else jnp.sum(
@@ -185,7 +191,7 @@ class EdgeMessageMLP(nn.Module):
                     A_in, B_in, pe_in, b_eff,
                     recv_local, send_local, cwf, n_nodes, padded,
                     block_n, block_e, act_k, pe is not None,
-                    interpret, padded_send)[:n_nodes]
+                    interpret, padded_send, ddt)[:n_nodes]
             else:
                 from gsn_tpu.ops.pallas.fused_message import \
                     fused_edge_message_aggregate
@@ -413,11 +419,15 @@ class GSNLayer(nn.Module):
                              ) * block_n
                 interp = _jax.default_backend() == "cpu"
 
+                kdt = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                       else jnp.float32)
+                ddt = ("bfloat16" if kdt == jnp.bfloat16 else "float32")
+
                 def slab_part(node_arr=None, edge_arr=None):
                     dm = (node_arr if node_arr is not None
                           else edge_arr).shape[-1]
-                    zero = jnp.zeros((n_nodes, dm), jnp.float32)
-                    B_arr = (node_arr.astype(jnp.float32)
+                    zero = jnp.zeros((n_nodes, dm), kdt)
+                    B_arr = (node_arr.astype(kdt)
                              if node_arr is not None else zero)
                     padded_send = None
                     if self.ep_axis is not None:
@@ -427,13 +437,13 @@ class GSNLayer(nn.Module):
                             -(-B_arr.shape[0] // block_n), S_S) * block_n
                     return slab_edge_message_aggregate(
                         zero, B_arr,
-                        (edge_arr.astype(jnp.float32)
+                        (edge_arr.astype(kdt)
                          if edge_arr is not None else None),
                         jnp.zeros((dm,), jnp.float32),
                         recv_local, send_local, chunks, n_nodes, padded,
                         block_n, block_e, "identity",
                         edge_arr is not None, interp,
-                        padded_send)[:n_nodes]
+                        padded_send, ddt)[:n_nodes]
 
                 agg_parts = [slab_part(node_arr=x)]
                 if self.use_ids:
@@ -487,8 +497,11 @@ class GSNLayer(nn.Module):
                 if pe is not None and pe.shape[-1] != dm:
                     pe = jnp.broadcast_to(pe, (pe.shape[0], dm)) \
                         if pe.shape[-1] == 1 else pe + jnp.zeros((1, dm))
-                zero = jnp.zeros((n_nodes, dm), jnp.float32)
-                B_side = B_side.astype(jnp.float32)
+                kdt = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                       else jnp.float32)
+                ddt = ("bfloat16" if kdt == jnp.bfloat16 else "float32")
+                zero = jnp.zeros((n_nodes, dm), kdt)
+                B_side = B_side.astype(kdt)
                 padded_send = None
                 if self.ep_axis is not None:
                     B_side = jax.lax.all_gather(
@@ -497,12 +510,12 @@ class GSNLayer(nn.Module):
                         -(-B_side.shape[0] // block_n), S_S) * block_n
                 agg = slab_edge_message_aggregate(
                     zero, B_side,
-                    pe.astype(jnp.float32) if pe is not None else None,
+                    pe.astype(kdt) if pe is not None else None,
                     jnp.zeros((dm,), jnp.float32),
                     recv_local, send_local, chunks, n_nodes, padded,
                     block_n, block_e, "relu", pe is not None,
                     _jax.default_backend() == "cpu",
-                    padded_send)[:n_nodes]
+                    padded_send, ddt)[:n_nodes]
             else:
                 m = x_j
                 if self.use_ids:

@@ -60,15 +60,19 @@ def _pool_fn(readout: str):
     raise ValueError(f"invalid readout {readout!r}")
 
 
-def _make_pool(readout: str, data: GraphBatch):
+def _make_pool(readout: str, data: GraphBatch, compute_dtype=None):
     """Node-level pooling closure; routes through the Pallas one-hot MXU
-    pool kernel when the batch carries slab-pool metadata."""
+    pool kernel when the batch carries slab-pool metadata.  Under
+    ``compute_dtype='bfloat16'`` the kernel path rounds node rows to bf16
+    (single-pass one-hot dots; the pooled sum still accumulates f32)."""
     fn = _pool_fn(readout)
     seg = (None if data.pool_recv_local is None
            else (data.pool_recv_local, data.pool_fb, data.pool_block_g,
                  data.pool_counts))
 
     def pool(x, batch, num_graphs, node_mask):
+        if compute_dtype == "bfloat16" and seg is not None:
+            x = x.astype(jnp.bfloat16)
         return fn(x, batch, num_graphs, node_mask, pool_seg=seg,
                   axis_name=data.ep_axis)
 
@@ -92,7 +96,7 @@ class GNNSubstructures(nn.Module):
         c = self.cfg
         nm, em = data.node_mask, data.edge_mask
         num_graphs = data.num_graph_slots
-        pool = _make_pool(c.readout, data)
+        pool = _make_pool(c.readout, data, c.compute_dtype)
 
         degrees = DiscreteEmbedding(
             c.degree_embedding, 1, c.d_degree, c.d_out_degree_embedding,
@@ -205,7 +209,7 @@ class GNN_OGB(nn.Module):
         c = self.cfg
         nm, em = data.node_mask, data.edge_mask
         num_graphs = data.num_graph_slots
-        pool = _make_pool(c.readout, data)
+        pool = _make_pool(c.readout, data, c.compute_dtype)
         act = choose_activation(c.activation)
         L = len(c.d_out)
 

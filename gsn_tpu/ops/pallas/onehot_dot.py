@@ -37,8 +37,14 @@ def _split3(x):
 
 
 def onehot_dot(sel, x):
-    """``sel [m, k] (0/1) @ x [k, n] f32 -> [m, n] f32`` in 3 MXU passes."""
+    """``sel [m, k] (0/1) @ x [k, n] -> [m, n] f32``.
+
+    f32 data: 3 MXU passes (exact).  bf16 data (the ``compute_dtype=
+    'bfloat16'`` path — data already rounded, nothing left to split):
+    ONE pass with f32 accumulation, 3x less MXU work."""
     s = sel.astype(jnp.bfloat16)
+    if x.dtype == jnp.bfloat16:
+        return jnp.dot(s, x, preferred_element_type=jnp.float32)
     hi, mid, lo = _split3(x)
     out = jnp.dot(s, hi, preferred_element_type=jnp.float32)
     out = out + jnp.dot(s, mid, preferred_element_type=jnp.float32)
@@ -49,9 +55,13 @@ _DN_T = (((0,), (0,)), ((), ()))
 
 
 def onehot_dot_t(sel, y):
-    """``sel [k, m] (0/1), y [k, n] f32 -> sel^T @ y [m, n]`` (scatter-add
-    over the shared leading axis) in 3 MXU passes."""
+    """``sel [k, m] (0/1), y [k, n] -> sel^T @ y [m, n]`` (scatter-add
+    over the shared leading axis); 3 MXU passes for f32 data, one for
+    bf16 data (f32 accumulation either way)."""
     s = sel.astype(jnp.bfloat16)
+    if y.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(s, y, dimension_numbers=_DN_T,
+                                   preferred_element_type=jnp.float32)
     hi, mid, lo = _split3(y)
     out = jax.lax.dot_general(s, hi, dimension_numbers=_DN_T,
                               preferred_element_type=jnp.float32)

@@ -145,7 +145,7 @@ def _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe):
 
 def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
                 a0, a1, b0, b1, b2, b3, bias_ref,
-                slab_ref, *, block_n, act, has_pe):
+                slab_ref, *, block_n, act, has_pe, data_dtype="float32"):
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
     h = _h(oh_r, oh_s, (a0, a1), (b0, b1, b2, b3), pe_ref, bias_ref,
            has_pe)
@@ -155,15 +155,22 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
         # joint [H, H^2] aggregation: one call yields both first and
         # second masked moments of the pre-activation (for fused BN)
         h = jnp.concatenate([h, h * h], axis=1)
+    if data_dtype == "bfloat16":
+        # messages are bf16-valued in compute_dtype mode (same rounding
+        # the unfused bf16 Dense path applies); the slab accumulation
+        # itself stays f32 via preferred_element_type
+        h = h.astype(jnp.bfloat16)
     slab_ref[...] = onehot_dot_t(oh_r, h)[None]
 
 
 def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
                 a0, a1, b0, b1, b2, b3, bias_ref, g0, g1,
                 dh_ref, da_slab_ref, db_slab_ref,
-                *, block_n, act, has_pe):
+                *, block_n, act, has_pe, data_dtype="float32"):
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
     g_span = jnp.concatenate([g0[...], g1[...]], 0)   # [2Bn, d or 2d]
+    if data_dtype == "bfloat16":
+        g_span = g_span.astype(jnp.bfloat16)
     g_e = onehot_dot(oh_r, g_span)
     if act in ("relu", "id_sq"):
         h = _h(oh_r, oh_s, (a0, a1), (b0, b1, b2, b3), pe_ref, bias_ref,
@@ -174,6 +181,8 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
             d1 = h.shape[1]
             g_e = g_e[:, :d1] + 2.0 * h * g_e[:, d1:]
     dh_ref[...] = g_e
+    if data_dtype == "bfloat16":
+        g_e = g_e.astype(jnp.bfloat16)   # single-pass scatter dots
     da_slab_ref[...] = onehot_dot_t(oh_r, g_e)[None]
     db_slab_ref[...] = onehot_dot_t(oh_s, g_e)[None]
 
@@ -240,8 +249,8 @@ def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d):
     return out.reshape(num_blocks * block_n, d)
 
 
-def _pad_nodes(x, rows):
-    return jnp.pad(x.astype(jnp.float32), ((0, rows - x.shape[0]), (0, 0)))
+def _pad_nodes(x, rows, dtype=jnp.float32):
+    return jnp.pad(x.astype(dtype), ((0, rows - x.shape[0]), (0, 0)))
 
 
 class _R:
@@ -272,7 +281,7 @@ def _nb(arr, first_block, k, block_n):
 
 
 def _emu_fwd(fb, wf, recv3, send3, Pe, A, B, bias, block_n, block_e,
-             act, has_pe):
+             act, has_pe, data_dtype="float32"):
     """Run ``_fwd_kernel`` chunk-by-chunk without pallas_call.
 
     The interpret path must work INSIDE a checked shard_map (the EP
@@ -290,13 +299,14 @@ def _emu_fwd(fb, wf, recv3, send3, Pe, A, B, bias, block_n, block_e,
             _R(_nb(A, fb[t], 0, block_n)), _R(_nb(A, fb[t], 1, block_n)),
             _R(_nb(B, wf[t], 0, block_n)), _R(_nb(B, wf[t], 1, block_n)),
             _R(_nb(B, wf[t], 2, block_n)), _R(_nb(B, wf[t], 3, block_n)),
-            _R(bias), out, block_n=block_n, act=act, has_pe=has_pe)
+            _R(bias), out, block_n=block_n, act=act, has_pe=has_pe,
+            data_dtype=data_dtype)
         slabs.append(out.v)
     return jnp.concatenate(slabs, 0)
 
 
 def _emu_bwd(fb, wf, recv3, send3, Pe, A, B, bias, g, block_n, block_e,
-             act, has_pe):
+             act, has_pe, data_dtype="float32"):
     C = recv3.shape[0]
     dh, da, db = [], [], []
     for t in range(C):
@@ -309,7 +319,8 @@ def _emu_bwd(fb, wf, recv3, send3, Pe, A, B, bias, g, block_n, block_e,
             _R(_nb(B, wf[t], 2, block_n)), _R(_nb(B, wf[t], 3, block_n)),
             _R(bias), _R(_nb(g, fb[t], 0, block_n)),
             _R(_nb(g, fb[t], 1, block_n)),
-            o_dh, o_da, o_db, block_n=block_n, act=act, has_pe=has_pe)
+            o_dh, o_da, o_db, block_n=block_n, act=act, has_pe=has_pe,
+            data_dtype=data_dtype)
         dh.append(o_dh.v)
         da.append(o_da.v)
         db.append(o_db.v)
@@ -353,41 +364,47 @@ def _out_struct(shape, dtype, *arrs):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
 def slab_edge_message_aggregate(
         A, B, Pe, b1,
         recv_local, send_local, fb_wf, num_real_nodes,
         num_nodes: int, block_n: int, block_e: int,
         act: str = "relu", has_pe: bool = True,
         interpret: bool = False,
-        num_send_nodes: Optional[int] = None):
+        num_send_nodes: Optional[int] = None,
+        data_dtype: str = "float32"):
     """agg[v] = Σ_{e→v} act(A[recv]+B[send]+Pe+b1)   — dense edges.
 
     fb_wf: stacked [2, C] of (fb, wf).  num_nodes: padded RECEIVER rows
     (multiple of block_n, >= S_R blocks; >= S_S when the sender space is
     shared).  num_send_nodes: padded SENDER rows when B lives in a
     different index space (edge-partitioned execution gathers B globally
-    while A/out stay shard-local); None = shared space.  Returns
-    [num_nodes, d1]."""
+    while A/out stay shard-local); None = shared space.
+    data_dtype: 'bfloat16' rounds A/B/messages/cotangents to bf16 so
+    every one-hot contraction is a single MXU pass (the compute_dtype
+    path; aggregation accumulates f32); 'float32' = exact bf16x3.
+    Returns [num_nodes, d1] float32."""
     out, _ = _slab_fwd_impl(A, B, Pe if has_pe else None, b1, recv_local,
                             send_local, fb_wf, num_nodes, block_n,
-                            block_e, act, interpret, num_send_nodes)
+                            block_e, act, interpret, num_send_nodes,
+                            data_dtype)
     return out
 
 
 def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
                    num_nodes, block_n, block_e, act, interpret,
-                   num_send_nodes=None):
+                   num_send_nodes=None, data_dtype="float32"):
     C = fb_wf.shape[1]
     d1 = A.shape[1]
     od = 2 * d1 if act == "id_sq" else d1   # joint [H, H^2] slabs
     num_blocks = num_nodes // block_n
     has_pe = Pe is not None
-    Pe_arr = (Pe.astype(jnp.float32) if has_pe
-              else jnp.zeros((C * block_e, d1), jnp.float32))
-    A = _pad_nodes(A, num_nodes)
+    ddt = jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32
+    Pe_arr = (Pe.astype(ddt) if has_pe
+              else jnp.zeros((C * block_e, d1), ddt))
+    A = _pad_nodes(A, num_nodes, ddt)
     B = _pad_nodes(B, num_send_nodes
-                   if num_send_nodes is not None else num_nodes)
+                   if num_send_nodes is not None else num_nodes, ddt)
 
     if interpret:
         # same kernel body, no pallas_call (shard_map-safe; Mosaic path
@@ -397,7 +414,7 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
                          send_local.reshape(C, 1, block_e),
                          Pe_arr, A, B,
                          b1.reshape(1, d1).astype(jnp.float32),
-                         block_n, block_e, act, has_pe)
+                         block_n, block_e, act, has_pe, data_dtype)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # fb, wf
@@ -408,7 +425,7 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
         )
         slabs = pl.pallas_call(
             functools.partial(_fwd_kernel, block_n=block_n, act=act,
-                              has_pe=has_pe),
+                              has_pe=has_pe, data_dtype=data_dtype),
             grid_spec=grid_spec,
             out_shape=_out_struct((C, S_R * block_n, od), jnp.float32,
                                   A, B, Pe_arr, b1, recv_local,
@@ -425,16 +442,16 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
 
 def _slab_fwd(A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
               num_nodes, block_n, block_e, act, has_pe, interpret,
-              num_send_nodes=None):
+              num_send_nodes=None, data_dtype="float32"):
     out = slab_edge_message_aggregate(
         A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
         num_nodes, block_n, block_e, act, has_pe, interpret,
-        num_send_nodes)
+        num_send_nodes, data_dtype)
     return out, (A, B, Pe, b1, recv_local, send_local, fb_wf)
 
 
 def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
-              num_send_nodes, res, g):
+              num_send_nodes, data_dtype, res, g):
     A, B, Pe, b1, recv_local, send_local, fb_wf = res
     C = fb_wf.shape[1]
     d1 = A.shape[1]
@@ -442,10 +459,11 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
     num_blocks = num_nodes // block_n
     num_send = num_send_nodes if num_send_nodes is not None else num_nodes
     send_blocks = num_send // block_n
-    Pe_arr = (Pe.astype(jnp.float32) if has_pe
-              else jnp.zeros((C * block_e, d1), jnp.float32))
-    A_p = _pad_nodes(A, num_nodes)
-    B_p = _pad_nodes(B, num_send)
+    ddt = jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32
+    Pe_arr = (Pe.astype(ddt) if has_pe
+              else jnp.zeros((C * block_e, d1), ddt))
+    A_p = _pad_nodes(A, num_nodes, ddt)
+    B_p = _pad_nodes(B, num_send, ddt)
     g = jnp.pad(g.astype(jnp.float32),
                 ((0, num_nodes - g.shape[0]), (0, 0)))
 
@@ -456,7 +474,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
             send_local.reshape(C, 1, block_e),
             Pe_arr, A_p, B_p,
             b1.reshape(1, d1).astype(jnp.float32), g,
-            block_n, block_e, act, has_pe)
+            block_n, block_e, act, has_pe, data_dtype)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -477,7 +495,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
         )
         dH, da_slabs, db_slabs = pl.pallas_call(
             functools.partial(_bwd_kernel, block_n=block_n, act=act,
-                              has_pe=has_pe),
+                              has_pe=has_pe, data_dtype=data_dtype),
             grid_spec=grid_spec,
             out_shape=[
                 _out_struct((C * block_e, d1), jnp.float32,
@@ -498,11 +516,11 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
           b1.reshape(1, d1).astype(jnp.float32), g, g)
 
     dA = _combine_slabs(da_slabs, fb_wf[0], S_R, num_blocks, block_n,
-                        d1)[:A.shape[0]]
+                        d1)[:A.shape[0]].astype(A.dtype)
     dB = _combine_slabs(db_slabs, fb_wf[1], S_S, send_blocks, block_n,
-                        d1)[:B.shape[0]]
-    db1 = jnp.sum(dH, axis=0)
-    dPe = dH if has_pe else None
+                        d1)[:B.shape[0]].astype(B.dtype)
+    db1 = jnp.sum(dH, axis=0).astype(b1.dtype)
+    dPe = dH.astype(Pe.dtype) if has_pe else None
     return (_match_vma(A, dA), _match_vma(B, dB), _match_vma(Pe, dPe),
             _match_vma(b1, db1), None, None, None, None)
 

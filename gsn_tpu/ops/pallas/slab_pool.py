@@ -89,7 +89,7 @@ def _pool_fwd_kernel(fb_ref, recv_ref, x_ref, slab_ref, *, block_g):
 def _pool_bwd_kernel(fb_ref, recv_ref, g0, g1, dx_ref, *, block_g):
     oh = _onehot(recv_ref, block_g)
     g_span = jnp.concatenate([g0[...], g1[...]], 0)
-    dx_ref[...] = onehot_dot(oh, g_span)
+    dx_ref[...] = onehot_dot(oh, g_span).astype(dx_ref.dtype)
 
 
 def _combine(slabs, fb, num_blocks, block_g, d):
@@ -119,7 +119,10 @@ def _pool_fwd(x, recv_local, fb, num_graphs, block_g, block_e, interpret):
     C = fb.shape[0]
     d = x.shape[1]
     num_blocks = -(-num_graphs // block_g)
-    x = x.astype(jnp.float32)
+    if x.dtype != jnp.bfloat16:
+        # bf16 input (compute_dtype mode) stays bf16: one MXU pass per
+        # dot instead of the exact bf16x3 split; f32 accumulation
+        x = x.astype(jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(C,),
@@ -137,7 +140,8 @@ def _pool_fwd(x, recv_local, fb, num_graphs, block_g, block_e, interpret):
         interpret=interpret,
     )(fb, recv_local.reshape(C, 1, block_e), x)
     out = _combine(slabs, fb, num_blocks, block_g, d)[:num_graphs]
-    return out, (recv_local, fb, x.shape[0])
+    # 0-d carrier: residual pytrees may only hold JAX types, not dtypes
+    return out, (recv_local, fb, x.shape[0], jnp.zeros((), x.dtype))
 
 
 def _pool_fwd_vjp(x, recv_local, fb, num_graphs, block_g, block_e,
@@ -148,11 +152,13 @@ def _pool_fwd_vjp(x, recv_local, fb, num_graphs, block_g, block_e,
 
 
 def _pool_bwd_vjp(num_graphs, block_g, block_e, interpret, res, g):
-    recv_local, fb, n_rows = res
+    recv_local, fb, n_rows, dt_carrier = res
+    x_dtype = dt_carrier.dtype
     C = fb.shape[0]
     d = g.shape[1]
     num_blocks = -(-num_graphs // block_g)
-    g_pad = jnp.pad(g.astype(jnp.float32),
+    g_pad = jnp.pad(g.astype(x_dtype if x_dtype == jnp.bfloat16
+                             else jnp.float32),
                     ((0, num_blocks * block_g - g.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -167,7 +173,7 @@ def _pool_bwd_vjp(num_graphs, block_g, block_e, interpret, res, g):
     dx = pl.pallas_call(
         functools.partial(_pool_bwd_kernel, block_g=block_g),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, d), x_dtype),
         interpret=interpret,
     )(fb, recv_local.reshape(C, 1, block_e), g_pad, g_pad)
     return (dx, None, None)

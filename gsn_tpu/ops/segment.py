@@ -71,7 +71,9 @@ def _slab_pool_sum(x, num_graphs, pool_seg):
     recv_local, fb, block_g, _counts = pool_seg
     n_pad = recv_local.shape[0]
     block_e = n_pad // fb.shape[0]
-    x = jnp.pad(x.astype(jnp.float32), ((0, n_pad - x.shape[0]), (0, 0)))
+    if x.dtype != jnp.bfloat16:   # bf16 stays bf16: 1-pass one-hot dots
+        x = x.astype(jnp.float32)
+    x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
     return slab_add_pool(x, recv_local, fb, num_graphs, block_g, block_e,
                          jax.default_backend() == "cpu")
 

@@ -22,7 +22,8 @@ import numpy as np  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-from bench import BATCH_GRAPHS, make_zinc_like  # noqa: E402
+from bench import (BATCH_GRAPHS, make_molhiv_like,  # noqa: E402
+                   make_zinc_like)
 from gsn_tpu.config import GSNConfig  # noqa: E402
 from gsn_tpu.graphs.batching import (iterate_batches,  # noqa: E402
                                      tight_epoch_caps)
@@ -41,19 +42,38 @@ def timed(fn, *a):
 
 def main():
     bf16 = "--bf16" in sys.argv
-    summary = {"backend": jax.default_backend(), "bf16": bf16}
-    graphs, d_id = make_zinc_like(BATCH_GRAPHS)
-    cfg = GSNConfig(
-        model_name="GSN_edge_sparse", num_layers=4, d_out=128,
-        out_features=1, msg_kind="general", id_scope="global", bn_mlp=False,
-        id_embedding="one_hot_encoder", input_node_encoder="embedding",
-        edge_encoder="embedding", readout="sum",
-        compute_dtype="bfloat16" if bf16 else None,
-        in_features=1, d_in_node_encoder=[28], d_in_edge_encoder=[4],
-        d_in_id=d_id)
-    tcfg = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
-                         scheduler="None", loss_fn="L1Loss",
-                         prediction_fn="L1Loss", shuffle=False)
+    molhiv = "--molhiv" in sys.argv
+    summary = {"backend": jax.default_backend(), "bf16": bf16,
+               "workload": "molhiv" if molhiv else "zinc"}
+    if molhiv:
+        graphs, d_id = make_molhiv_like(BATCH_GRAPHS)
+        cfg = GSNConfig(
+            model_name="GSN_edge_sparse_ogb", num_layers=5, d_out=300,
+            d_h=600, out_features=1, msg_kind="ogb", id_scope="local",
+            vn=True, dropout_features=0.5, readout="mean",
+            final_projection=[False], jk_mlp=False,
+            id_embedding="embedding", d_out_id_embedding=300,
+            input_node_encoder="atom_encoder", edge_encoder="bond_encoder",
+            input_vn_encoder="embedding",
+            compute_dtype="bfloat16" if bf16 else None,
+            in_features=9, in_edge_features=3, d_in_id=d_id)
+        tcfg = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
+                             scheduler="None",
+                             loss_fn="BCEWithLogitsLoss",
+                             prediction_fn="None", shuffle=False)
+    else:
+        graphs, d_id = make_zinc_like(BATCH_GRAPHS)
+        cfg = GSNConfig(
+            model_name="GSN_edge_sparse", num_layers=4, d_out=128,
+            out_features=1, msg_kind="general", id_scope="global",
+            bn_mlp=False, id_embedding="one_hot_encoder",
+            input_node_encoder="embedding", edge_encoder="embedding",
+            readout="sum", compute_dtype="bfloat16" if bf16 else None,
+            in_features=1, d_in_node_encoder=[28], d_in_edge_encoder=[4],
+            d_in_id=d_id)
+        tcfg = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
+                             scheduler="None", loss_fn="L1Loss",
+                             prediction_fn="L1Loss", shuffle=False)
     trainer = Trainer(cfg, tcfg, graphs)
     caps = tight_epoch_caps(np.arange(len(graphs)), graphs, BATCH_GRAPHS)
     data = next(iterate_batches(
@@ -61,6 +81,9 @@ def main():
         mxu_layout={"mode": "slab", "flow": "source_to_target",
                     "block_n": 128, "block_e": 256}))
     summary["real_edges"] = int(np.asarray(data.edge_mask).sum())
+    # ship the batch once; otherwise every step re-uploads host numpy
+    # through the tunnel and wall-clock measures transfer, not compute
+    data = jax.device_put(data)
 
     state = trainer.init_state(data, seed=0)
     key = jax.random.PRNGKey(0)
@@ -92,8 +115,11 @@ def main():
         (time.perf_counter() - t0 - rtt) / ITERS * 1e3, 2)
 
     # --- trace a few steps of each ------------------------------------
-    trace_dir = ("/root/repo/profiles/step_bf16" if bf16
-                 else "/root/repo/profiles/step")
+    trace_dir = "/root/repo/profiles/step"
+    if molhiv:
+        trace_dir += "_molhiv"
+    if bf16:
+        trace_dir += "_bf16"
     os.makedirs(trace_dir, exist_ok=True)
     with jax.profiler.trace(trace_dir):
         for _ in range(5):

@@ -183,6 +183,65 @@ def check_fused_message():
                                    rtol=1e-3, atol=1e-3, err_msg=name)
 
 
+def check_slab_message_bf16():
+    """data_dtype='bfloat16' (single-pass one-hot dots): must compile on
+    Mosaic and stay bf16-close to the f32 oracle, fwd + bwd."""
+    import jax
+    import jax.numpy as jnp
+    from gsn_tpu.ops.pallas.slab_message import (build_slab_metadata,
+                                                 slab_edge_message_aggregate)
+
+    BN, BE, d = 128, 256, 64
+    rng = np.random.RandomState(7)
+    recv, send, N = _random_disjoint_graphs(rng)
+    E_real = len(recv)
+    E = -(-E_real // BE) * BE
+    recv_p = np.concatenate([recv, np.zeros(E - E_real, np.int64)])
+    send_p = np.concatenate([send, np.zeros(E - E_real, np.int64)])
+    mask = np.arange(E) < E_real
+    num_nodes = max(-(-N // BN), 4) * BN
+    meta = build_slab_metadata(recv_p, send_p, mask, num_nodes, BN, BE)
+    assert meta is not None
+    A = rng.randn(N, d).astype(np.float32)
+    B = rng.randn(N, d).astype(np.float32)
+    b1 = rng.randn(d).astype(np.float32)
+    Pe = rng.randn(len(meta["fb"]) * BE, d).astype(np.float32) * 0.1
+    fb_wf = jnp.asarray(np.stack([meta["fb"], meta["wf"]]))
+    g_out = rng.randn(num_nodes, d).astype(np.float32)
+
+    def fused(A, B, Pe, b1):
+        out = slab_edge_message_aggregate(
+            A, B, Pe, b1, jnp.asarray(meta["recv_local"]),
+            jnp.asarray(meta["send_local"]), fb_wf, N,
+            num_nodes, BN, BE, "relu", True, False, None, "bfloat16")
+        return jnp.sum(out * g_out), out
+
+    def ref(A, B, Pe, b1):
+        Ab = A.astype(jnp.bfloat16).astype(jnp.float32)
+        Bb = B.astype(jnp.bfloat16).astype(jnp.float32)
+        Pb = Pe.astype(jnp.bfloat16).astype(jnp.float32)
+        H = jnp.maximum(Ab[recv] + Bb[send] + Pb[:E_real] + b1, 0.0)
+        out = jax.ops.segment_sum(
+            H.astype(jnp.bfloat16).astype(jnp.float32),
+            jnp.asarray(recv), num_segments=num_nodes)
+        return jnp.sum(out * g_out), out
+
+    args = tuple(map(jnp.asarray, (A, B, Pe, b1)))
+    (_, out_f), gf = jax.value_and_grad(fused, argnums=(0, 1, 2, 3),
+                                        has_aux=True)(*args)
+    (_, out_r), gr = jax.value_and_grad(ref, argnums=(0, 1, 2, 3),
+                                        has_aux=True)(*args)
+    # bf16 rounding tolerance: values are O(1) sums of <=40 messages
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=0.05, atol=0.05)
+    for name, a, b in zip(["dA", "dB", "dPe", "db1"], gf, gr):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if name == "dPe":
+            a, b = a[:E_real], b[:E_real]
+        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.1, err_msg=name)
+
+
 def check_slab_pool():
     import jax
     import jax.numpy as jnp
@@ -228,12 +287,13 @@ def check_slab_pool():
                                rtol=1e-4, atol=1e-4)
 
 
-def check_slab_train_step(bn_mlp=False):
+def check_slab_train_step(bn_mlp=False, compute_dtype=None):
     """End-to-end: one slab-path train step (the bench workload, small).
 
     ``bn_mlp=True`` additionally exercises the fused-BN slab path (the
     joint [H, H^2] moments pass with act='id_sq',
-    nn/filters.py:134-164)."""
+    nn/filters.py:134-164).  ``compute_dtype='bfloat16'`` exercises the
+    single-pass bf16 kernel data mode end-to-end."""
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, "/root/repo")
@@ -246,7 +306,7 @@ def check_slab_train_step(bn_mlp=False):
     cfg = GSNConfig(
         model_name="GSN_edge_sparse", num_layers=2, d_out=64, d_h=64,
         out_features=1, msg_kind="general", id_scope="global",
-        bn_mlp=bn_mlp,
+        bn_mlp=bn_mlp, compute_dtype=compute_dtype,
         id_embedding="one_hot_encoder", input_node_encoder="embedding",
         edge_encoder="embedding", readout="sum",
         in_features=1, d_in_node_encoder=[28], d_in_edge_encoder=[4],
@@ -279,12 +339,15 @@ def main():
 
     check("segment_mxu fwd+bwd", check_segment_mxu)
     check("slab_message fwd+bwd", check_slab_message)
+    check("slab_message bf16 fwd+bwd", check_slab_message_bf16)
     check("fused_message fwd+bwd", check_fused_message)
     check("slab_pool fwd+bwd", check_slab_pool)
     if "--quick" not in sys.argv:
         check("slab train step (end-to-end)", check_slab_train_step)
         check("slab train step (bn_mlp fused BN)",
               lambda: check_slab_train_step(bn_mlp=True))
+        check("slab train step (bf16 compute)",
+              lambda: check_slab_train_step(compute_dtype="bfloat16"))
 
     failed = [n for n, ok in RESULTS if not ok]
     print(f"[smoke] {len(RESULTS) - len(failed)}/{len(RESULTS)} passed",
