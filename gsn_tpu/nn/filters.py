@@ -443,7 +443,7 @@ class GSNLayer(nn.Module):
                         recv_local, send_local, chunks, n_nodes, padded,
                         block_n, block_e, "identity",
                         edge_arr is not None, interp,
-                        padded_send, ddt)[:n_nodes]
+                        padded_send, ddt, False)[:n_nodes]
 
                 agg_parts = [slab_part(node_arr=x)]
                 if self.use_ids:
@@ -515,7 +515,7 @@ class GSNLayer(nn.Module):
                     recv_local, send_local, chunks, n_nodes, padded,
                     block_n, block_e, "relu", pe is not None,
                     _jax.default_backend() == "cpu",
-                    padded_send, ddt)[:n_nodes]
+                    padded_send, ddt, False)[:n_nodes]
             else:
                 m = x_j
                 if self.use_ids:

@@ -17,7 +17,8 @@ from flax import linen as nn
 from gsn_tpu.config import GSNConfig
 from gsn_tpu.graphs.container import GraphBatch
 from gsn_tpu.ops.norm import MaskedBatchNorm
-from gsn_tpu.ops.segment import global_add_pool, global_mean_pool
+from gsn_tpu.ops.segment import (broadcast_graph_to_nodes,
+                                 global_add_pool, global_mean_pool)
 from .embedding import DiscreteEmbedding
 from .filters import GSNLayer
 from .mlp import MLP, choose_activation
@@ -264,7 +265,12 @@ class GNN_OGB(nn.Module):
 
             h = x_interm[i]
             if c.vn:
-                h = h + vn[data.batch]
+                pool_seg = (None if (data.pool_recv_local is None
+                                     or data.ep_axis is not None)
+                            else (data.pool_recv_local, data.pool_fb,
+                                  data.pool_block_g, data.pool_counts))
+                h = h + broadcast_graph_to_nodes(
+                    vn, data.batch, h.shape[0], pool_seg)
                 x_interm[i] = h
 
             x = GSNLayer(

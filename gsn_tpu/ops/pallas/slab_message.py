@@ -135,20 +135,24 @@ def _onehots(recv_ref, send_ref, block_n):
 
 
 def _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe):
-    a_span = jnp.concatenate([r[...] for r in a_refs], 0)
     b_win = jnp.concatenate([r[...] for r in b_refs], 0)
-    h = onehot_dot(oh_r, a_span) + onehot_dot(oh_s, b_win)
+    h = onehot_dot(oh_s, b_win)
+    if a_refs:     # has_a=False: the A side is identically zero (gin/ogb)
+        a_span = jnp.concatenate([r[...] for r in a_refs], 0)
+        h = h + onehot_dot(oh_r, a_span)
     if has_pe:
         h = h + pe_ref[...]
     return h + bias_ref[...]
 
 
 def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
-                a0, a1, b0, b1, b2, b3, bias_ref,
-                slab_ref, *, block_n, act, has_pe, data_dtype="float32"):
+                *refs, block_n, act, has_pe, has_a=True,
+                data_dtype="float32"):
+    a_refs = refs[:2] if has_a else ()
+    b_refs = refs[2:6] if has_a else refs[0:4]
+    bias_ref, slab_ref = refs[-2], refs[-1]
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
-    h = _h(oh_r, oh_s, (a0, a1), (b0, b1, b2, b3), pe_ref, bias_ref,
-           has_pe)
+    h = _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe)
     if act == "relu":
         h = jnp.maximum(h, 0.0)
     elif act == "id_sq":
@@ -157,24 +161,33 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
         h = jnp.concatenate([h, h * h], axis=1)
     if data_dtype == "bfloat16":
         # messages are bf16-valued in compute_dtype mode (same rounding
-        # the unfused bf16 Dense path applies); the slab accumulation
-        # itself stays f32 via preferred_element_type
+        # the unfused bf16 Dense path applies); each chunk's slab
+        # accumulates in f32 via preferred_element_type, and the slab is
+        # WRITTEN bf16 — halves the HBM retiling traffic of the combine
+        # and makes the combine dot single-pass
         h = h.astype(jnp.bfloat16)
-    slab_ref[...] = onehot_dot_t(oh_r, h)[None]
+        slab_ref[...] = onehot_dot_t(oh_r, h).astype(jnp.bfloat16)[None]
+    else:
+        slab_ref[...] = onehot_dot_t(oh_r, h)[None]
 
 
 def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
-                a0, a1, b0, b1, b2, b3, bias_ref, g0, g1,
-                dh_ref, da_slab_ref, db_slab_ref,
-                *, block_n, act, has_pe, data_dtype="float32"):
+                *refs, block_n, act, has_pe, has_a=True,
+                data_dtype="float32"):
+    a_refs = refs[:2] if has_a else ()
+    b_refs = refs[2:6] if has_a else refs[0:4]
+    if has_a:
+        bias_ref, g0, g1, dh_ref, da_slab_ref, db_slab_ref = refs[6:]
+    else:
+        bias_ref, g0, g1, dh_ref, db_slab_ref = refs[4:]
+        da_slab_ref = None
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
     g_span = jnp.concatenate([g0[...], g1[...]], 0)   # [2Bn, d or 2d]
     if data_dtype == "bfloat16":
         g_span = g_span.astype(jnp.bfloat16)
     g_e = onehot_dot(oh_r, g_span)
     if act in ("relu", "id_sq"):
-        h = _h(oh_r, oh_s, (a0, a1), (b0, b1, b2, b3), pe_ref, bias_ref,
-               has_pe)
+        h = _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe)
         if act == "relu":
             g_e = jnp.where(h > 0, g_e, 0.0)
         else:
@@ -183,8 +196,15 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
     dh_ref[...] = g_e
     if data_dtype == "bfloat16":
         g_e = g_e.astype(jnp.bfloat16)   # single-pass scatter dots
-    da_slab_ref[...] = onehot_dot_t(oh_r, g_e)[None]
-    db_slab_ref[...] = onehot_dot_t(oh_s, g_e)[None]
+        if da_slab_ref is not None:
+            da_slab_ref[...] = onehot_dot_t(
+                oh_r, g_e).astype(jnp.bfloat16)[None]
+        db_slab_ref[...] = onehot_dot_t(
+            oh_s, g_e).astype(jnp.bfloat16)[None]
+    else:
+        if da_slab_ref is not None:
+            da_slab_ref[...] = onehot_dot_t(oh_r, g_e)[None]
+        db_slab_ref[...] = onehot_dot_t(oh_s, g_e)[None]
 
 
 def _at(arr, t):
@@ -206,16 +226,20 @@ def _at(arr, t):
     return arr[t]
 
 
-def _specs(block_e, block_n, d1):
-    """Shared input specs: recv, send, Pe, A-span (2 blocks), B-window
-    (4 blocks), bias."""
+def _specs(block_e, block_n, d1, has_a=True):
+    """Shared input specs: recv, send, Pe, [A-span (2 blocks) iff has_a],
+    B-window (4 blocks), bias.  has_a=False (gin/ogb: A identically 0)
+    drops the A-block DMAs entirely."""
+    a_specs = [
+        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (_at(fb, t), 0)),
+        pl.BlockSpec((block_n, d1),
+                     lambda t, fb, wf: (_at(fb, t) + 1, 0)),
+    ] if has_a else []
     return [
         pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
         pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
         pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),
-        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (_at(fb, t), 0)),
-        pl.BlockSpec((block_n, d1),
-                     lambda t, fb, wf: (_at(fb, t) + 1, 0)),
+    ] + a_specs + [
         pl.BlockSpec((block_n, d1), lambda t, fb, wf: (_at(wf, t), 0)),
         pl.BlockSpec((block_n, d1),
                      lambda t, fb, wf: (_at(wf, t) + 1, 0)),
@@ -280,8 +304,15 @@ def _nb(arr, first_block, k, block_n):
     return jax.lax.dynamic_slice_in_dim(arr, start, block_n, axis=0)
 
 
+def _ab_refs(A, B, fb, wf, t, block_n, has_a):
+    """The per-chunk [A-span?, B-window] Ref stand-ins (emulation)."""
+    a = ([_R(_nb(A, fb[t], 0, block_n)), _R(_nb(A, fb[t], 1, block_n))]
+         if has_a else [])
+    return a + [_R(_nb(B, wf[t], k, block_n)) for k in range(S_S)]
+
+
 def _emu_fwd(fb, wf, recv3, send3, Pe, A, B, bias, block_n, block_e,
-             act, has_pe, data_dtype="float32"):
+             act, has_pe, data_dtype="float32", has_a=True):
     """Run ``_fwd_kernel`` chunk-by-chunk without pallas_call.
 
     The interpret path must work INSIDE a checked shard_map (the EP
@@ -296,35 +327,34 @@ def _emu_fwd(fb, wf, recv3, send3, Pe, A, B, bias, block_n, block_e,
         _fwd_kernel(
             None, None, _R(recv3[t:t + 1]), _R(send3[t:t + 1]),
             _R(Pe[t * block_e:(t + 1) * block_e]),
-            _R(_nb(A, fb[t], 0, block_n)), _R(_nb(A, fb[t], 1, block_n)),
-            _R(_nb(B, wf[t], 0, block_n)), _R(_nb(B, wf[t], 1, block_n)),
-            _R(_nb(B, wf[t], 2, block_n)), _R(_nb(B, wf[t], 3, block_n)),
+            *_ab_refs(A, B, fb, wf, t, block_n, has_a),
             _R(bias), out, block_n=block_n, act=act, has_pe=has_pe,
-            data_dtype=data_dtype)
+            has_a=has_a, data_dtype=data_dtype)
         slabs.append(out.v)
     return jnp.concatenate(slabs, 0)
 
 
 def _emu_bwd(fb, wf, recv3, send3, Pe, A, B, bias, g, block_n, block_e,
-             act, has_pe, data_dtype="float32"):
+             act, has_pe, data_dtype="float32", has_a=True):
     C = recv3.shape[0]
     dh, da, db = [], [], []
     for t in range(C):
         o_dh, o_da, o_db = _W(), _W(), _W()
+        outs = ((o_dh, o_da, o_db) if has_a else (o_dh, o_db))
         _bwd_kernel(
             None, None, _R(recv3[t:t + 1]), _R(send3[t:t + 1]),
             _R(Pe[t * block_e:(t + 1) * block_e]),
-            _R(_nb(A, fb[t], 0, block_n)), _R(_nb(A, fb[t], 1, block_n)),
-            _R(_nb(B, wf[t], 0, block_n)), _R(_nb(B, wf[t], 1, block_n)),
-            _R(_nb(B, wf[t], 2, block_n)), _R(_nb(B, wf[t], 3, block_n)),
+            *_ab_refs(A, B, fb, wf, t, block_n, has_a),
             _R(bias), _R(_nb(g, fb[t], 0, block_n)),
             _R(_nb(g, fb[t], 1, block_n)),
-            o_dh, o_da, o_db, block_n=block_n, act=act, has_pe=has_pe,
-            data_dtype=data_dtype)
+            *outs, block_n=block_n, act=act, has_pe=has_pe,
+            has_a=has_a, data_dtype=data_dtype)
         dh.append(o_dh.v)
-        da.append(o_da.v)
+        if has_a:
+            da.append(o_da.v)
         db.append(o_db.v)
-    return (jnp.concatenate(dh, 0), jnp.concatenate(da, 0),
+    return (jnp.concatenate(dh, 0),
+            jnp.concatenate(da, 0) if has_a else None,
             jnp.concatenate(db, 0))
 
 
@@ -364,7 +394,7 @@ def _out_struct(shape, dtype, *arrs):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
 def slab_edge_message_aggregate(
         A, B, Pe, b1,
         recv_local, send_local, fb_wf, num_real_nodes,
@@ -372,7 +402,8 @@ def slab_edge_message_aggregate(
         act: str = "relu", has_pe: bool = True,
         interpret: bool = False,
         num_send_nodes: Optional[int] = None,
-        data_dtype: str = "float32"):
+        data_dtype: str = "float32",
+        has_a: bool = True):
     """agg[v] = Σ_{e→v} act(A[recv]+B[send]+Pe+b1)   — dense edges.
 
     fb_wf: stacked [2, C] of (fb, wf).  num_nodes: padded RECEIVER rows
@@ -383,23 +414,27 @@ def slab_edge_message_aggregate(
     data_dtype: 'bfloat16' rounds A/B/messages/cotangents to bf16 so
     every one-hot contraction is a single MXU pass (the compute_dtype
     path; aggregation accumulates f32); 'float32' = exact bf16x3.
+    has_a=False: A is identically zero (gin/ogb message kinds) — the
+    A-side dots, A-block DMAs and the dA slab are skipped entirely.
     Returns [num_nodes, d1] float32."""
     out, _ = _slab_fwd_impl(A, B, Pe if has_pe else None, b1, recv_local,
                             send_local, fb_wf, num_nodes, block_n,
                             block_e, act, interpret, num_send_nodes,
-                            data_dtype)
+                            data_dtype, has_a)
     return out
 
 
 def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
                    num_nodes, block_n, block_e, act, interpret,
-                   num_send_nodes=None, data_dtype="float32"):
+                   num_send_nodes=None, data_dtype="float32",
+                   has_a=True):
     C = fb_wf.shape[1]
     d1 = A.shape[1]
     od = 2 * d1 if act == "id_sq" else d1   # joint [H, H^2] slabs
     num_blocks = num_nodes // block_n
     has_pe = Pe is not None
     ddt = jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32
+    odt = ddt   # slabs are written in the data dtype (combine restores f32)
     Pe_arr = (Pe.astype(ddt) if has_pe
               else jnp.zeros((C * block_e, d1), ddt))
     A = _pad_nodes(A, num_nodes, ddt)
@@ -414,27 +449,30 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
                          send_local.reshape(C, 1, block_e),
                          Pe_arr, A, B,
                          b1.reshape(1, d1).astype(jnp.float32),
-                         block_n, block_e, act, has_pe, data_dtype)
+                         block_n, block_e, act, has_pe, data_dtype,
+                         has_a)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # fb, wf
             grid=(C,),
-            in_specs=_specs(block_e, block_n, d1),
+            in_specs=_specs(block_e, block_n, d1, has_a),
             out_specs=pl.BlockSpec((1, S_R * block_n, od),
                                    lambda t, fb, wf: (t, 0, 0)),
         )
+        a_ops = (A, A) if has_a else ()
         slabs = pl.pallas_call(
             functools.partial(_fwd_kernel, block_n=block_n, act=act,
-                              has_pe=has_pe, data_dtype=data_dtype),
+                              has_pe=has_pe, has_a=has_a,
+                              data_dtype=data_dtype),
             grid_spec=grid_spec,
-            out_shape=_out_struct((C, S_R * block_n, od), jnp.float32,
+            out_shape=_out_struct((C, S_R * block_n, od), odt,
                                   A, B, Pe_arr, b1, recv_local,
                                   send_local, fb_wf),
             interpret=interpret,
         )(fb_wf[0], fb_wf[1],
           recv_local.reshape(C, 1, block_e),
           send_local.reshape(C, 1, block_e),
-          Pe_arr, A, A, B, B, B, B,
+          Pe_arr, *a_ops, B, B, B, B,
           b1.reshape(1, d1).astype(jnp.float32))
     out = _combine_slabs(slabs, fb_wf[0], S_R, num_blocks, block_n, od)
     return out, None
@@ -442,16 +480,16 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
 
 def _slab_fwd(A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
               num_nodes, block_n, block_e, act, has_pe, interpret,
-              num_send_nodes=None, data_dtype="float32"):
+              num_send_nodes=None, data_dtype="float32", has_a=True):
     out = slab_edge_message_aggregate(
         A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
         num_nodes, block_n, block_e, act, has_pe, interpret,
-        num_send_nodes, data_dtype)
+        num_send_nodes, data_dtype, has_a)
     return out, (A, B, Pe, b1, recv_local, send_local, fb_wf)
 
 
 def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
-              num_send_nodes, data_dtype, res, g):
+              num_send_nodes, data_dtype, has_a, res, g):
     A, B, Pe, b1, recv_local, send_local, fb_wf = res
     C = fb_wf.shape[1]
     d1 = A.shape[1]
@@ -460,6 +498,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
     num_send = num_send_nodes if num_send_nodes is not None else num_nodes
     send_blocks = num_send // block_n
     ddt = jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32
+    odt = ddt
     Pe_arr = (Pe.astype(ddt) if has_pe
               else jnp.zeros((C * block_e, d1), ddt))
     A_p = _pad_nodes(A, num_nodes, ddt)
@@ -474,12 +513,18 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
             send_local.reshape(C, 1, block_e),
             Pe_arr, A_p, B_p,
             b1.reshape(1, d1).astype(jnp.float32), g,
-            block_n, block_e, act, has_pe, data_dtype)
+            block_n, block_e, act, has_pe, data_dtype, has_a)
     else:
+        da_out_spec = [pl.BlockSpec((1, S_R * block_n, d1),
+                                    lambda t, fb, wf: (t, 0, 0))] \
+            if has_a else []
+        da_out_shape = [_out_struct((C, S_R * block_n, d1), odt,
+                                    A_p, B_p, Pe_arr, b1, recv_local,
+                                    send_local, fb_wf, g)] if has_a else []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(C,),
-            in_specs=_specs(block_e, block_n, d1) + [
+            in_specs=_specs(block_e, block_n, d1, has_a) + [
                 pl.BlockSpec((block_n, od),
                              lambda t, fb, wf: (_at(fb, t), 0)),
                 pl.BlockSpec((block_n, od),
@@ -487,24 +532,23 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
             ],
             out_specs=[
                 pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),
-                pl.BlockSpec((1, S_R * block_n, d1),
-                             lambda t, fb, wf: (t, 0, 0)),
+            ] + da_out_spec + [
                 pl.BlockSpec((1, S_S * block_n, d1),
                              lambda t, fb, wf: (t, 0, 0)),
             ],
         )
-        dH, da_slabs, db_slabs = pl.pallas_call(
+        a_ops = (A_p, A_p) if has_a else ()
+        outs = pl.pallas_call(
             functools.partial(_bwd_kernel, block_n=block_n, act=act,
-                              has_pe=has_pe, data_dtype=data_dtype),
+                              has_pe=has_pe, has_a=has_a,
+                              data_dtype=data_dtype),
             grid_spec=grid_spec,
             out_shape=[
                 _out_struct((C * block_e, d1), jnp.float32,
                             A_p, B_p, Pe_arr, b1, recv_local, send_local,
                             fb_wf, g),
-                _out_struct((C, S_R * block_n, d1), jnp.float32,
-                            A_p, B_p, Pe_arr, b1, recv_local, send_local,
-                            fb_wf, g),
-                _out_struct((C, S_S * block_n, d1), jnp.float32,
+            ] + da_out_shape + [
+                _out_struct((C, S_S * block_n, d1), odt,
                             A_p, B_p, Pe_arr, b1, recv_local, send_local,
                             fb_wf, g),
             ],
@@ -512,11 +556,16 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
         )(fb_wf[0], fb_wf[1],
           recv_local.reshape(C, 1, block_e),
           send_local.reshape(C, 1, block_e),
-          Pe_arr, A_p, A_p, B_p, B_p, B_p, B_p,
+          Pe_arr, *a_ops, B_p, B_p, B_p, B_p,
           b1.reshape(1, d1).astype(jnp.float32), g, g)
+        if has_a:
+            dH, da_slabs, db_slabs = outs
+        else:
+            (dH, db_slabs), da_slabs = outs, None
 
-    dA = _combine_slabs(da_slabs, fb_wf[0], S_R, num_blocks, block_n,
-                        d1)[:A.shape[0]].astype(A.dtype)
+    dA = (_combine_slabs(da_slabs, fb_wf[0], S_R, num_blocks, block_n,
+                         d1)[:A.shape[0]].astype(A.dtype)
+          if da_slabs is not None else jnp.zeros_like(A))
     dB = _combine_slabs(db_slabs, fb_wf[1], S_S, send_blocks, block_n,
                         d1)[:B.shape[0]].astype(B.dtype)
     db1 = jnp.sum(dH, axis=0).astype(b1.dtype)

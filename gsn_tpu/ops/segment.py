@@ -78,6 +78,24 @@ def _slab_pool_sum(x, num_graphs, pool_seg):
                          jax.default_backend() == "cpu")
 
 
+def broadcast_graph_to_nodes(vn: jnp.ndarray, batch: jnp.ndarray,
+                             num_nodes: int, pool_seg=None) -> jnp.ndarray:
+    """``vn[batch]`` whose autodiff transpose is a slab-pool MXU matmul
+    instead of XLA's serial scatter-add (the GNN_OGB virtual-node
+    broadcast, reference models_graph_classification_ogb_original.py:236).
+    Padding nodes get 0 on the kernel path (they are masked everywhere
+    downstream)."""
+    if pool_seg is None:
+        return vn[batch]
+    from gsn_tpu.ops.pallas.slab_pool import slab_graph_broadcast
+    recv_local, fb, block_g, _counts = pool_seg
+    n_pad = recv_local.shape[0]
+    block_e = n_pad // fb.shape[0]
+    out = slab_graph_broadcast(vn, recv_local, fb, vn.shape[0], block_g,
+                               block_e, jax.default_backend() == "cpu")
+    return out[:num_nodes]
+
+
 def global_add_pool(x: jnp.ndarray, batch: jnp.ndarray, num_graphs: int,
                     node_mask: Optional[jnp.ndarray] = None,
                     pool_seg=None, axis_name: Optional[str] = None

@@ -287,6 +287,107 @@ def check_slab_pool():
                                rtol=1e-4, atol=1e-4)
 
 
+def check_slab_message_no_a():
+    """has_a=False (gin/ogb: A identically zero) — the A-side dots, DMAs
+    and dA slab are skipped; must compile and match the oracle."""
+    import jax
+    import jax.numpy as jnp
+    from gsn_tpu.ops.pallas.slab_message import (build_slab_metadata,
+                                                 slab_edge_message_aggregate)
+
+    BN, BE, d = 128, 256, 64
+    rng = np.random.RandomState(9)
+    recv, send, N = _random_disjoint_graphs(rng)
+    E_real = len(recv)
+    E = -(-E_real // BE) * BE
+    recv_p = np.concatenate([recv, np.zeros(E - E_real, np.int64)])
+    send_p = np.concatenate([send, np.zeros(E - E_real, np.int64)])
+    mask = np.arange(E) < E_real
+    num_nodes = max(-(-N // BN), 4) * BN
+    meta = build_slab_metadata(recv_p, send_p, mask, num_nodes, BN, BE)
+    assert meta is not None
+    B = rng.randn(N, d).astype(np.float32)
+    Pe = rng.randn(len(meta["fb"]) * BE, d).astype(np.float32) * 0.1
+    zero = np.zeros((N, d), np.float32)
+    b1 = np.zeros(d, np.float32)
+    fb_wf = jnp.asarray(np.stack([meta["fb"], meta["wf"]]))
+    g_out = rng.randn(num_nodes, d).astype(np.float32)
+
+    def fused(B, Pe):
+        out = slab_edge_message_aggregate(
+            jnp.asarray(zero), B, Pe, jnp.asarray(b1),
+            jnp.asarray(meta["recv_local"]),
+            jnp.asarray(meta["send_local"]), fb_wf, N,
+            num_nodes, BN, BE, "relu", True, False, None, "float32",
+            False)
+        return jnp.sum(out * g_out), out
+
+    def ref(B, Pe):
+        H = jnp.maximum(B[send] + Pe[:E_real], 0.0)
+        out = jax.ops.segment_sum(H, jnp.asarray(recv),
+                                  num_segments=num_nodes)
+        return jnp.sum(out * g_out), out
+
+    args = (jnp.asarray(B), jnp.asarray(Pe))
+    (_, out_f), gf = jax.value_and_grad(fused, argnums=(0, 1),
+                                        has_aux=True)(*args)
+    (_, out_r), gr = jax.value_and_grad(ref, argnums=(0, 1),
+                                        has_aux=True)(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-3, atol=1e-3)
+    for name, a, b in zip(["dB", "dPe"], gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "dPe":
+            a, b = a[:E_real], b[:E_real]
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3,
+                                   err_msg=name)
+
+
+def check_graph_broadcast():
+    """slab_graph_broadcast (vn -> nodes, transpose = slab pool): must
+    compile on Mosaic and match the gather oracle fwd + bwd."""
+    import jax
+    import jax.numpy as jnp
+    from gsn_tpu.ops.pallas.slab_pool import (build_pool_metadata,
+                                              slab_graph_broadcast)
+
+    rng = np.random.RandomState(5)
+    sizes = rng.randint(4, 31, 200)
+    batch = np.concatenate(
+        [np.full(s, i, np.int32) for i, s in enumerate(sizes)])
+    n = len(batch)
+    node_cap = ((n + 63) // 64) * 64
+    batch_p = np.zeros(node_cap, np.int32)
+    batch_p[:n] = batch
+    mask = np.arange(node_cap) < n
+    graph_cap = 256
+    meta = build_pool_metadata(batch_p, mask, graph_cap)
+    assert meta is not None
+    vn = rng.randn(graph_cap, 64).astype(np.float32)
+    n_pad = meta["recv_local"].shape[0]
+    g_out = rng.randn(n_pad, 64).astype(np.float32)
+
+    def via_kernel(vn):
+        out = slab_graph_broadcast(
+            vn, jnp.asarray(meta["recv_local"]), jnp.asarray(meta["fb"]),
+            graph_cap, meta["block_g"], meta["block_e"], False)
+        return jnp.sum(out * g_out), out
+
+    def via_gather(vn):
+        out = jnp.where(jnp.asarray(mask)[:, None],
+                        vn[jnp.asarray(batch_p)], 0.0)
+        return jnp.sum(out * g_out[:node_cap]), out
+
+    (_, out_k), gk = jax.value_and_grad(via_kernel, has_aux=True)(
+        jnp.asarray(vn))
+    (_, out_r), gr = jax.value_and_grad(via_gather, has_aux=True)(
+        jnp.asarray(vn))
+    np.testing.assert_allclose(np.asarray(out_k)[:node_cap],
+                               np.asarray(out_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+
 def check_slab_train_step(bn_mlp=False, compute_dtype=None):
     """End-to-end: one slab-path train step (the bench workload, small).
 
@@ -340,8 +441,10 @@ def main():
     check("segment_mxu fwd+bwd", check_segment_mxu)
     check("slab_message fwd+bwd", check_slab_message)
     check("slab_message bf16 fwd+bwd", check_slab_message_bf16)
+    check("slab_message has_a=False fwd+bwd", check_slab_message_no_a)
     check("fused_message fwd+bwd", check_fused_message)
     check("slab_pool fwd+bwd", check_slab_pool)
+    check("slab_graph_broadcast fwd+bwd", check_graph_broadcast)
     if "--quick" not in sys.argv:
         check("slab train step (end-to-end)", check_slab_train_step)
         check("slab train step (bn_mlp fused BN)",

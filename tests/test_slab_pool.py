@@ -125,3 +125,39 @@ def test_model_output_unchanged_with_pool_metadata():
     out_slab = model.apply(variables, slab, train=False)
     np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_slab),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_slab_graph_broadcast_matches_gather():
+    """slab_graph_broadcast == vn[batch] on real rows (0 on padding),
+    and its transpose matches the segment-sum cotangent of the gather."""
+    from gsn_tpu.ops.pallas.slab_pool import slab_graph_broadcast
+
+    rng = np.random.RandomState(4)
+    batch_p, mask, n, node_cap, sizes = _synthetic_batch(rng, 200)
+    graph_cap = 256
+    meta = build_pool_metadata(batch_p, mask, graph_cap)
+    assert meta is not None
+    vn = rng.randn(graph_cap, 48).astype(np.float32)
+    n_pad = meta["recv_local"].shape[0]
+    g_out = rng.randn(n_pad, 48).astype(np.float32)
+
+    def via_kernel(vn):
+        out = slab_graph_broadcast(
+            vn, jnp.asarray(meta["recv_local"]), jnp.asarray(meta["fb"]),
+            graph_cap, meta["block_g"], meta["block_e"], True)
+        return jnp.sum(out * g_out), out
+
+    def via_gather(vn):
+        out = jnp.where(jnp.asarray(mask)[:, None],
+                        vn[jnp.asarray(batch_p)], 0.0)
+        return jnp.sum(out * g_out[:node_cap]), out
+
+    (_, out_k), gk = jax.value_and_grad(via_kernel, has_aux=True)(
+        jnp.asarray(vn))
+    (_, out_r), gr = jax.value_and_grad(via_gather, has_aux=True)(
+        jnp.asarray(vn))
+    np.testing.assert_allclose(np.asarray(out_k)[:node_cap],
+                               np.asarray(out_r), rtol=1e-5, atol=1e-5)
+    assert not np.asarray(out_k)[node_cap:].any()
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
