@@ -153,6 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
     a("--return_scores", action="store_true")
     a("--use_mxu", type=parse.str2bool, default=False,
       help="Pallas MXU aggregation layout (see PERFORMANCE.md)")
+    a("--compute_dtype", type=str, default=None,
+      choices=[None, "None", "bfloat16"],
+      help="'bfloat16' = mixed-precision compute (bf16 matmuls + "
+           "single-pass bf16 one-hot kernels, f32 master params/BN/"
+           "Adam); measured 2.5x+ train throughput with --use_mxu True "
+           "(PERFORMANCE.md)")
     a("--caps_mode", type=str, default="worst",
       choices=["worst", "tight"],
       help="batch padding caps: 'worst' compiles ONE shape for the whole "
@@ -201,6 +207,8 @@ def _model_config(args: Dict, num_classes, in_features, in_edge_features,
         random_features=args["random_features"],
         bn=args["bn"],
         bn_mlp=args["bn_mlp"],
+        compute_dtype=(None if args.get("compute_dtype") in (None, "None")
+                       else args["compute_dtype"]),
         activation_mlp=args["activation_mlp"],
         activation=args["activation"],
         final_projection=args["final_projection"],
