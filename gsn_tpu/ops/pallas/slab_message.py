@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .onehot_dot import onehot_dot, onehot_dot_t
+from .onehot_dot import onehot_dot, onehot_dot3, onehot_dot_t
 
 S_R = 2   # receiver span (node blocks per slab)
 S_S = 4   # sender window (node blocks)
@@ -259,17 +259,19 @@ def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d):
     dynamic-update-slice loop (~200 GB/s measured); the [num_blocks,
     C*span] 0/1 assignment matmul reads every slab row once at matmul
     speed and costs only num_blocks*C*span*Bn*d extra MAC flops (~5
-    GFLOP on the bench shapes, ~0.1 ms)."""
+    GFLOP on the bench shapes, ~0.1 ms).  The rhs stays RANK-3
+    [C*span, Bn, d] (onehot_dot3): flattening to [C*span, Bn*d] forced
+    a physical retiling copy that was 13% of the molhiv step."""
     C = slabs.shape[0]
-    rows = slabs.reshape(C * span, block_n * d)
+    rows = slabs.reshape(C * span, block_n, d)   # leading merge: free
     ids = (first_block[:, None]
            + jnp.arange(span, dtype=first_block.dtype)[None, :]).reshape(-1)
     assign = (ids[None, :]
               == jnp.arange(num_blocks, dtype=ids.dtype)[:, None]
               ).astype(jnp.float32)
-    # onehot_dot (bf16x3, 3-chunk data split): exact-to-a-few-ulps f32
-    # reduction of the slab partials in 3 DEFAULT-precision MXU passes
-    out = onehot_dot(assign, rows)
+    # onehot_dot3 (bf16x3 for f32 data, 1 pass for bf16): exact f32
+    # accumulation of the slab partials
+    out = onehot_dot3(assign, rows)
     return out.reshape(num_blocks * block_n, d)
 
 

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .onehot_dot import onehot_dot, onehot_dot_t
+from .onehot_dot import onehot_dot, onehot_dot3, onehot_dot_t
 
 S_R = 2    # graph-block span per chunk
 
@@ -95,13 +95,13 @@ def _pool_bwd_kernel(fb_ref, recv_ref, g0, g1, dx_ref, *, block_g):
 
 def _combine(slabs, fb, num_blocks, block_g, d):
     C = slabs.shape[0]
-    rows = slabs.reshape(C * S_R, block_g * d)
+    rows = slabs.reshape(C * S_R, block_g, d)   # rank-3: no retile copy
     ids = (fb[:, None]
            + jnp.arange(S_R, dtype=fb.dtype)[None, :]).reshape(-1)
     assign = (ids[None, :]
               == jnp.arange(num_blocks, dtype=ids.dtype)[:, None]
               ).astype(jnp.float32)
-    out = onehot_dot(assign, rows)
+    out = onehot_dot3(assign, rows)
     return out.reshape(num_blocks * block_g, d)
 
 
