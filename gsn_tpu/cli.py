@@ -167,6 +167,18 @@ def build_parser() -> argparse.ArgumentParser:
     a("--device", type=str, default="default",
       help="default | cpu (force CPU; the axon sitecustomize pins "
            "JAX_PLATFORMS=axon, so env vars alone don't stick)")
+    # multi-process / multi-host execution (gsn_tpu.parallel.distributed):
+    # every participating process runs the same command with its own
+    # --process_id; rank 0 owns checkpoint/log side effects.  See the
+    # launch recipe in parallel/distributed.py.
+    a("--coordinator_address", type=str, default=None,
+      help="host:port of the jax.distributed coordinator; presence "
+           "enables multi-process execution ('auto' on TPU pods lets "
+           "the runtime discover the topology)")
+    a("--num_procs_distributed", type=int, default=None,
+      help="total process count of the jax.distributed cluster")
+    a("--process_id", type=int, default=None,
+      help="this process's rank in the jax.distributed cluster")
     return p
 
 
@@ -233,6 +245,16 @@ def main(args: Dict):
     import jax
     if args.get("device") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.get("coordinator_address") or args.get("process_id") is not None:
+        # join the jax.distributed cluster BEFORE any device use; all
+        # jit computations then run as one SPMD program across every
+        # process's devices (gsn_tpu/parallel/distributed.py)
+        from .parallel import distributed as dist
+        addr = args.get("coordinator_address")
+        dist.initialize(
+            None if addr in (None, "auto") else addr,
+            args.get("num_procs_distributed"), args.get("process_id"),
+            platform="cpu" if args.get("device") == "cpu" else None)
     if args.get("device_idx"):
         try:
             jax.config.update("jax_default_device",
@@ -339,6 +361,14 @@ def main(args: Dict):
             args["results_folder"], str(fold), args["model_name"],
             "checkpoints")
         ckpt = os.path.join(ckpt_dir, args["checkpoint_file"] + ".pkl")
+        ckpt_write = ckpt
+        if args.get("coordinator_address") \
+                or args.get("process_id") is not None:
+            # rank-0-only WRITE side effects under multi-process
+            # execution (every rank still reads checkpoints)
+            from .parallel.distributed import is_coordinator
+            if not is_coordinator():
+                ckpt_write = None
 
         if args["mode"] == "test":
             state, _ = load_checkpoint(ckpt, state, trainer.scheduler)
@@ -360,7 +390,8 @@ def main(args: Dict):
             entity=args.get("wandb_entity", None),
             config=args)
         state, hist = trainer.fit(state, train, test, graphs_val=val,
-                                  checkpoint_file=ckpt, logger=logger)
+                                  checkpoint_file=ckpt_write,
+                                  logger=logger)
         if hist["test_accs"]:
             fold_perf = perf_opt(hist["test_accs"])
             logger.set_summary(

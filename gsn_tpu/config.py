@@ -71,6 +71,8 @@ class GSNConfig:
     residual: bool = False
     bn_axis_name: Any = None   # set inside shard_map for cross-replica BN
     compute_dtype: Any = None  # 'bfloat16' halves HBM traffic, 2x MXU
+    dropout_rng: str = "threefry"  # 'rbg': hardware bit generator for
+    #                                 node-level dropout masks (cheaper)
 
     # ---- data-dependent dims (filled by the pipeline)
     in_features: int = 1

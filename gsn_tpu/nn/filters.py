@@ -222,7 +222,9 @@ class EdgeMessageMLP(nn.Module):
                 # (cwf[0] is the chunk's first node block in both modes,
                 # and recv_local is relative to it, so the global recv
                 # above is correct for aligned and slab layouts alike)
-            return (out + deg[:, None] * b2).astype(jnp.float32)
+            # bf16 compute: stay in bf16 (the deg*b2 term is computed f32
+            # and rounded once); f32 otherwise
+            return out + (deg[:, None] * b2).astype(out.dtype)
 
         # --- standard (per-edge) path ---------------------------------
         h = None
@@ -302,7 +304,8 @@ class GSNLayer(nn.Module):
     ) -> jnp.ndarray:
         if self.degree_as_tag:
             deg = degrees if degrees.ndim > 1 else degrees[:, None]
-            x = jnp.concatenate([x, deg], -1) if self.retain_features else deg
+            x = (jnp.concatenate([x, deg.astype(x.dtype)], -1)
+                 if self.retain_features else deg)
 
         n_nodes = x.shape[0]
         if self.ep_axis is not None:
@@ -373,11 +376,15 @@ class GSNLayer(nn.Module):
                     node_parts, edge_parts, recv, send, edge_mask, train,
                     fused_seg=fused_seg)
             if fused_seg is not None:
-                agg = out_or_msgs.astype(jnp.float32)
+                # fused path already returns the compute dtype (bf16 under
+                # compute_dtype; f32 otherwise) — keep it, the update MLP
+                # consumes that dtype anyway
+                agg = out_or_msgs
             else:
                 msgs = out_or_msgs.astype(jnp.float32)
                 agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
-            update_in = jnp.concatenate([x, agg], -1)
+            update_in = jnp.concatenate(
+                [x.astype(agg.dtype), agg], -1)
 
         elif self.msg_kind == "gin":
             self_parts = [x]
@@ -458,7 +465,11 @@ class GSNLayer(nn.Module):
             else:
                 msgs = jnp.concatenate(msg_parts, -1)
                 agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
-            update_in = (1.0 + self._eps()) * self_msg + agg
+            # keep the compute dtype: (1+eps) is a 0-d f32 that would
+            # otherwise promote a bf16 self_msg back to f32
+            self_msg = self_msg.astype(agg.dtype)
+            fac = jnp.asarray(1.0 + self._eps()).astype(agg.dtype)
+            update_in = fac * self_msg + agg
 
         elif self.msg_kind == "ogb":
             # m = relu(x_j + id + e) (GSN_edge_sparse_ogb.py:119-129) is
@@ -488,7 +499,7 @@ class GSNLayer(nn.Module):
                 B_side = x
                 if self.use_ids and self.id_scope == "global":
                     # x + ids broadcasts to the wider of the two
-                    B_side = x + identifiers.astype(jnp.float32)
+                    B_side = x + identifiers.astype(x.dtype)
                 pe = None
                 for p in pe_parts:
                     if p is not None:
@@ -527,8 +538,10 @@ class GSNLayer(nn.Module):
                 agg = self._aggregate(msgs, recv, n_nodes, edge_mask, seg)
             self_msg = x
             if self.use_ids and self.id_scope == "global":
-                self_msg = x + identifiers.astype(jnp.float32)
-            update_in = (1.0 + self._eps()) * self_msg + agg
+                self_msg = x + identifiers.astype(x.dtype)
+            self_msg = self_msg.astype(agg.dtype)
+            fac = jnp.asarray(1.0 + self._eps()).astype(agg.dtype)
+            update_in = fac * self_msg + agg
 
         else:
             raise NotImplementedError(f"msg kind {self.msg_kind!r}")
@@ -538,6 +551,11 @@ class GSNLayer(nn.Module):
                   dtype=(jnp.dtype(self.compute_dtype)
                          if self.compute_dtype else None),
                   name="update_fn")(update_in, node_mask, train)
+        if self.compute_dtype:
+            # x travels in the compute dtype across layer boundaries
+            # (model-level BN/act/dropout/residual all preserve it);
+            # re-materializing f32 here cost a convert fusion per layer
+            return out
         return out.astype(jnp.float32)
 
     def _eps(self):

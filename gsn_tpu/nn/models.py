@@ -24,6 +24,22 @@ from .filters import GSNLayer
 from .mlp import MLP, choose_activation
 
 
+def rbg_key(key):
+    """Re-wrap a threefry key as an ``rbg`` key (XLA RngBitGenerator).
+
+    Threefry spends real VPU time hashing per 32 generated bits; the
+    hardware bit generator is ~free.  Dropout masks need iid bits, not
+    threefry's counter-based splittability, so the conversion (tile the
+    2-word threefry key data to rbg's 4-word state) is sound: distinct
+    input keys map to distinct rbg states.  Fold any per-shard/axis
+    indices into the threefry key BEFORE converting."""
+    kd = key
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    kd = jnp.tile(kd.ravel()[:2], 2).astype(jnp.uint32)
+    return jax.random.wrap_key_data(kd, impl="rbg")
+
+
 class NodeDropout(nn.Module):
     """Dropout over NODE rows that stays decorrelated across
     edge-partition shards.
@@ -35,10 +51,15 @@ class NodeDropout(nn.Module):
     models_graph_classification_ogb_original.py:242-245).  Folding the
     key with ``lax.axis_index(ep_axis)`` gives each shard an independent
     stream while graph-level dropout (replicated rows) keeps the shared
-    key.  Identical to nn.Dropout when ``ep_axis`` is None."""
+    key.  Identical to nn.Dropout when ``ep_axis`` is None.
+
+    ``rng_impl='rbg'`` draws the mask bits from the hardware bit
+    generator instead of threefry (same iid-bernoulli semantics,
+    different stream; measurably cheaper on large node arrays)."""
 
     rate: float
     ep_axis: str = None
+    rng_impl: str = "threefry"
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
@@ -48,6 +69,8 @@ class NodeDropout(nn.Module):
         if self.ep_axis is not None:
             key = jax.random.fold_in(
                 key, jax.lax.axis_index(self.ep_axis))
+        if self.rng_impl == "rbg":
+            key = rbg_key(key)
         keep = 1.0 - self.rate
         mask = jax.random.bernoulli(key, p=keep, shape=x.shape)
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
@@ -65,15 +88,26 @@ def _make_pool(readout: str, data: GraphBatch, compute_dtype=None):
     """Node-level pooling closure; routes through the Pallas one-hot MXU
     pool kernel when the batch carries slab-pool metadata.  Under
     ``compute_dtype='bfloat16'`` the kernel path rounds node rows to bf16
-    (single-pass one-hot dots; the pooled sum still accumulates f32)."""
+    (single-pass one-hot dots; the pooled sum still accumulates f32).
+
+    NOTE (documented numeric divergence): the bf16 rounding of pooled
+    rows applies only on the SLAB layout — the same config on a plain
+    (no slab-pool metadata) batch pools exact f32 rows.  Layout-parity
+    comparisons under ``compute_dtype='bfloat16'`` must therefore allow
+    one bf16 rounding of the readout inputs; this is an intentional
+    perf choice of the kernel path, not a bug."""
     fn = _pool_fn(readout)
     seg = (None if data.pool_recv_local is None
            else (data.pool_recv_local, data.pool_fb, data.pool_block_g,
                  data.pool_counts))
 
     def pool(x, batch, num_graphs, node_mask):
-        if compute_dtype == "bfloat16" and seg is not None:
-            x = x.astype(jnp.bfloat16)
+        if seg is not None:
+            if compute_dtype == "bfloat16":
+                x = x.astype(jnp.bfloat16)
+        elif x.dtype == jnp.bfloat16:
+            # XLA segment-sum path: accumulate pooled sums in f32
+            x = x.astype(jnp.float32)
         return fn(x, batch, num_graphs, node_mask, pool_seg=seg,
                   axis_name=data.ep_axis)
 
@@ -117,6 +151,10 @@ class GNNSubstructures(nn.Module):
                 self.make_rng("random_features"),
                 (x.shape[0], c.d_out[0]), jnp.float32)
             x = jnp.concatenate([x, r], axis=1)
+        if c.compute_dtype:
+            # activations travel in the compute dtype end-to-end (BN
+            # stats, pooled readouts and the head stay f32)
+            x = x.astype(jnp.dtype(c.compute_dtype))
 
         act = choose_activation(c.activation)
         x_interm = [x]
@@ -225,6 +263,10 @@ class GNN_OGB(nn.Module):
             activation_mlp=c.activation_mlp, bn_mlp=c.bn_mlp,
             features_scope=c.features_scope,
             name="input_node_encoder")(data.x, nm, train)
+        cdt = jnp.dtype(c.compute_dtype) if c.compute_dtype else None
+        if cdt:
+            # activations (x, vn) travel in the compute dtype end-to-end
+            x = x.astype(cdt)
 
         if c.vn:
             # zeros-init embedding of a single category (reference :77-86)
@@ -233,6 +275,8 @@ class GNN_OGB(nn.Module):
                 aggr=c.multi_embedding_aggr, zeros_init=True,
                 name="vn_encoder")(
                     jnp.zeros((num_graphs, 1), jnp.int32), None, train)
+            if cdt:
+                vn = vn.astype(cdt)
 
         num_id_enc = L if c.inject_ids else 1
         id_encoders = [DiscreteEmbedding(
@@ -303,11 +347,13 @@ class GNN_OGB(nn.Module):
             # partitioning, identical to nn.Dropout otherwise)
             if i == L - 1:
                 x = NodeDropout(c.dropout_features[i],
-                                ep_axis=data.ep_axis)(
+                                ep_axis=data.ep_axis,
+                                rng_impl=c.dropout_rng)(
                     x, deterministic=not train)
             else:
                 x = NodeDropout(c.dropout_features[i],
-                                ep_axis=data.ep_axis)(
+                                ep_axis=data.ep_axis,
+                                rng_impl=c.dropout_rng)(
                     act(x), deterministic=not train)
 
             if c.residual:
@@ -315,10 +361,11 @@ class GNN_OGB(nn.Module):
             x_interm.append(x)
 
             if i < L - 1 and c.vn:
-                vn_tmp = _make_pool(c.vn_pooling, data)(
-                    x_interm[i], data.batch, num_graphs, nm) + vn
+                pooled = _make_pool(c.vn_pooling, data)(
+                    x_interm[i], data.batch, num_graphs, nm)
+                vn_tmp = pooled.astype(vn.dtype) + vn
                 vn = MLP(c.d_out_vn[i], tuple(c.d_h[i]), c.activation_mlp,
-                         c.bn_mlp, name=f"mlp_vn_{i}")(
+                         c.bn_mlp, dtype=cdt, name=f"mlp_vn_{i}")(
                              vn_tmp, data.graph_mask, train)
                 vn_post = nn.Dropout(c.dropout_features[i])(
                     act(vn), deterministic=not train)

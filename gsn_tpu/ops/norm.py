@@ -44,6 +44,13 @@ class MaskedBatchNorm(nn.Module):
         the normalization into its affine inputs."""
         use_ra = (self.use_running_average
                   if use_running_average is None else use_running_average)
+        # bf16 activations (compute_dtype mode): statistics accumulate in
+        # f32 and the normalized output is emitted back in the input
+        # dtype, so x can travel bf16 across layer boundaries without
+        # per-layer f32<->bf16 convert fusions.
+        in_dtype = x.dtype if x is not None else None
+        low_prec = in_dtype is not None and in_dtype != jnp.float32
+        xf = x.astype(jnp.float32) if low_prec else x
         d = x.shape[-1] if x is not None else moments[1].shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
@@ -60,13 +67,13 @@ class MaskedBatchNorm(nn.Module):
                 n = jnp.asarray(n, jnp.float32)
             elif mask is None:
                 n = jnp.asarray(x.shape[0], jnp.float32)
-                sum_x = jnp.sum(x, axis=0)
-                sum_x2 = jnp.sum(jnp.square(x), axis=0)
+                sum_x = jnp.sum(xf, axis=0)
+                sum_x2 = jnp.sum(jnp.square(xf), axis=0)
             else:
-                m = mask.astype(x.dtype)[:, None]
+                m = mask.astype(jnp.float32)[:, None]
                 n = jnp.sum(m)
-                sum_x = jnp.sum(x * m, axis=0)
-                sum_x2 = jnp.sum(jnp.square(x) * m, axis=0)
+                sum_x = jnp.sum(xf * m, axis=0)
+                sum_x2 = jnp.sum(jnp.square(xf) * m, axis=0)
             if self.axis_name is not None:
                 n = jax.lax.psum(n, self.axis_name)
                 sum_x = jax.lax.psum(sum_x, self.axis_name)
@@ -83,5 +90,11 @@ class MaskedBatchNorm(nn.Module):
 
         if x is None:
             return mean, var, scale, bias
+        if low_prec:
+            # folded per-channel affine: one elementwise fusion reading
+            # and writing the input dtype (f32 math on the [d] vectors)
+            s = scale * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+            t = bias - mean * s
+            return (xf * s + t).astype(in_dtype)
         y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
         return y * scale + bias

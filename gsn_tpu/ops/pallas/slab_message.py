@@ -159,7 +159,7 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
         # joint [H, H^2] aggregation: one call yields both first and
         # second masked moments of the pre-activation (for fused BN)
         h = jnp.concatenate([h, h * h], axis=1)
-    if data_dtype == "bfloat16":
+    if data_dtype == "bfloat16" and act != "id_sq":
         # messages are bf16-valued in compute_dtype mode (same rounding
         # the unfused bf16 Dense path applies); each chunk's slab
         # accumulates in f32 via preferred_element_type, and the slab is
@@ -183,7 +183,7 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
         da_slab_ref = None
     oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
     g_span = jnp.concatenate([g0[...], g1[...]], 0)   # [2Bn, d or 2d]
-    if data_dtype == "bfloat16":
+    if data_dtype == "bfloat16" and act != "id_sq":
         g_span = g_span.astype(jnp.bfloat16)
     g_e = onehot_dot(oh_r, g_span)
     if act in ("relu", "id_sq"):
@@ -194,7 +194,7 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
             d1 = h.shape[1]
             g_e = g_e[:, :d1] + 2.0 * h * g_e[:, d1:]
     dh_ref[...] = g_e
-    if data_dtype == "bfloat16":
+    if data_dtype == "bfloat16" and act != "id_sq":
         g_e = g_e.astype(jnp.bfloat16)   # single-pass scatter dots
         if da_slab_ref is not None:
             da_slab_ref[...] = onehot_dot_t(
@@ -418,7 +418,8 @@ def slab_edge_message_aggregate(
     path; aggregation accumulates f32); 'float32' = exact bf16x3.
     has_a=False: A is identically zero (gin/ogb message kinds) — the
     A-side dots, A-block DMAs and the dA slab are skipped entirely.
-    Returns [num_nodes, d1] float32."""
+    Returns [num_nodes, d1] in the data dtype (f32, or bf16 under
+    data_dtype='bfloat16'; the fused-BN id_sq moments are always f32)."""
     out, _ = _slab_fwd_impl(A, B, Pe if has_pe else None, b1, recv_local,
                             send_local, fb_wf, num_nodes, block_n,
                             block_e, act, interpret, num_send_nodes,
@@ -436,7 +437,11 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
     num_blocks = num_nodes // block_n
     has_pe = Pe is not None
     ddt = jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32
-    odt = ddt   # slabs are written in the data dtype (combine restores f32)
+    # slabs are written in the data dtype (combine restores f32) — EXCEPT
+    # the joint [H, H^2] fused-BN moments pass: bf16-rounded moments lose
+    # most significant digits of var = E[H^2]-E[H]^2 when mean^2 ~ E[H^2]
+    # (inputs stay bf16-rounded; H/H^2 accumulate and travel f32)
+    odt = jnp.float32 if act == "id_sq" else ddt
     Pe_arr = (Pe.astype(ddt) if has_pe
               else jnp.zeros((C * block_e, d1), ddt))
     A = _pad_nodes(A, num_nodes, ddt)
@@ -477,6 +482,12 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
           Pe_arr, *a_ops, B, B, B, B,
           b1.reshape(1, d1).astype(jnp.float32))
     out = _combine_slabs(slabs, fb_wf[0], S_R, num_blocks, block_n, od)
+    if data_dtype == "bfloat16" and act != "id_sq":
+        # the aggregate leaves in bf16: the next Dense would round it to
+        # bf16 anyway (compute_dtype mode), and writing half the bytes
+        # deletes a layer-boundary convert fusion.  The fused-BN moments
+        # (id_sq) stay f32 — see odt above.
+        out = out.astype(jnp.bfloat16)
     return out, None
 
 
@@ -500,7 +511,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
     num_send = num_send_nodes if num_send_nodes is not None else num_nodes
     send_blocks = num_send // block_n
     ddt = jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32
-    odt = ddt
+    odt = jnp.float32 if act == "id_sq" else ddt   # see _slab_fwd_impl
     Pe_arr = (Pe.astype(ddt) if has_pe
               else jnp.zeros((C * block_e, d1), ddt))
     A_p = _pad_nodes(A, num_nodes, ddt)

@@ -108,6 +108,48 @@ def test_slab_gradients():
                                    err_msg=name)
 
 
+def test_bf16_idsq_moments_stay_f32():
+    """ADVICE r3: under data_dtype='bfloat16' the joint [H, H^2] fused-BN
+    moments pass must NOT round its slabs to bf16 — with an
+    ill-conditioned activation (|mean| >> std) the BN variance
+    E[H^2]-E[H]^2 computed from bf16-rounded moments loses nearly all
+    significant digits.  Inputs are still bf16-rounded (matching the
+    compute path); H/H^2 accumulate and travel f32."""
+    s = setup(seed=3, d1=32)
+    # ill-conditioned: H ~= 8 +- 0.5 -> E[H^2] ~ 64, var ~ 0.25.  bf16
+    # slab moments err ~40% here (quantum of the per-chunk partial sums);
+    # f32 moments land ~1e-3 relative.  (mean/std >~ 50 is beyond what
+    # the E[H^2]-E[H]^2 form can deliver even in f32 — not tested.)
+    s["A"] = (4.0 + 0.25 * s["A"]).astype(np.float32)
+    s["B"] = (4.0 + 0.25 * s["B"]).astype(np.float32)
+    s["b1"] = (0.25 * s["b1"]).astype(np.float32)
+    s["Pe"] = (0.25 * s["Pe"]).astype(np.float32)
+
+    out = np.asarray(slab_edge_message_aggregate(
+        jnp.asarray(s["A"]), jnp.asarray(s["B"]), jnp.asarray(s["Pe"]),
+        jnp.asarray(s["b1"]),
+        jnp.asarray(s["meta"]["recv_local"]),
+        jnp.asarray(s["meta"]["send_local"]),
+        jnp.asarray(s["fb_wf"]), s["N"],
+        s["num_nodes"], BN, BE, "id_sq", True, True, None, "bfloat16"))
+    d1 = s["A"].shape[1]
+    E = s["E"]
+    mean = out[:, :d1].sum(0) / E
+    var = out[:, d1:].sum(0) / E - mean ** 2
+
+    # oracle from the same bf16-rounded inputs, f64 accumulation
+    def r(x):
+        return np.asarray(jnp.asarray(x).astype(jnp.bfloat16),
+                          np.float64)
+    H = r(s["A"])[s["recv"]] + r(s["B"])[s["send"]] \
+        + r(s["Pe"])[:E] + s["b1"].astype(np.float64)
+    mean_ref = H.mean(0)
+    var_ref = (H ** 2).mean(0) - mean_ref ** 2
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-5)
+    # bf16-rounded moments would give O(1) relative error here
+    np.testing.assert_allclose(var, var_ref, rtol=2e-2)
+
+
 def test_metadata_rejects_wide_spans():
     # one sparse giant graph: 256 consecutive sorted receivers cover
     # >2*BN node ids -> builder must return None
