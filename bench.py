@@ -198,6 +198,95 @@ def bench_workload(name, graphs, cfg_fn, tcfg, extra_variants=()):
     }
 
 
+def make_dgn_like(num_graphs, seed=0):
+    """molhiv-scale DGN inputs: 9-field atom categoricals, edge-level
+    cycle-count vector field (reference directional_gsn
+    molhiv_10_runs.sh: --directions subgraphs --id_type cycle_graph
+    --k 6 --id_scope local)."""
+    from gsn_tpu.data.directional import assemble_directions
+    from gsn_tpu.data.pipeline import generate_dataset
+    from gsn_tpu.graphs.patterns import cycle_graph
+
+    graphs = _molecule_graphs(num_graphs, seed,
+                              [119, 4, 12, 12, 10, 6, 6, 2, 2],
+                              [5, 6, 2])
+    for g in graphs:
+        g.pop("edge_features")
+    vocab = [cycle_graph(k) for k in (3, 4, 5, 6)]
+    graphs, _ = generate_dataset(graphs, vocab, id_scope="local",
+                                 induced=False)
+    return assemble_directions(graphs, directions=("subgraphs",),
+                               id_scope="local")
+
+
+def bench_dgn(graphs):
+    """DGN flagship (reference directional_gsn molhiv config: 7
+    aggregators, d=70 x 4 layers): plain segment ops vs the weighted
+    slab kernel, f32 and bf16."""
+    import dataclasses
+
+    from gsn_tpu.graphs.batching import iterate_batches, tight_epoch_caps
+    from gsn_tpu.nn.dgn import DGNConfig, DGNNet, compute_avg_d
+    from gsn_tpu.train.loop import Trainer, TrainerConfig
+
+    avg_d = compute_avg_d(graphs)
+    cfg = DGNConfig(
+        hidden_dim=70, out_dim=70, num_layers=4,
+        aggregators=("mean", "max", "min", "dir0-av", "dir1-av",
+                     "dir2-av", "dir3-av"),
+        scalers=("identity",), avg_d=avg_d, dropout=0.3, out_features=1)
+    tcfg = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
+                         scheduler="None", loss_fn="BCEWithLogitsLoss",
+                         prediction_fn="None", shuffle=False)
+    caps = tight_epoch_caps(np.arange(len(graphs)), graphs, BATCH_GRAPHS)
+
+    data_plain = next(iterate_batches(
+        graphs, BATCH_GRAPHS, caps=caps, y_shape=(), y_dtype=np.float32))
+    real_edges = int(np.asarray(data_plain.edge_mask).sum())
+    trainer = Trainer(cfg, tcfg, graphs, model=DGNNet(cfg))
+    dt = run_variant(trainer, data_plain, ITERS)
+    plain_eps = real_edges * ITERS / dt
+    print(f"[bench:dgn] plain {plain_eps:.3e} edges/s [layout=plain]",
+          file=sys.stderr)
+
+    best_eps, best_tag = plain_eps, "plain"
+    try:
+        data_slab = next(iterate_batches(
+            graphs, BATCH_GRAPHS, caps=caps, y_shape=(),
+            y_dtype=np.float32, mxu_layout=SLAB))
+        if data_slab.seg_mode is None:
+            print("[bench:dgn] WARNING: slab metadata did not build",
+                  file=sys.stderr)
+            data_slab = None
+    except Exception:
+        traceback.print_exc()
+        data_slab = None
+    if data_slab is not None:
+        for tag, over in [
+                ("slab", {}),
+                ("slab+bf16+rbg", {"compute_dtype": "bfloat16",
+                                   "dropout_rng": "rbg"})]:
+            try:
+                cfg_v = dataclasses.replace(cfg, **over)
+                tr = Trainer(cfg_v, tcfg, graphs, model=DGNNet(cfg_v))
+                dt = run_variant(tr, data_slab, ITERS)
+                eps = real_edges * ITERS / dt
+                print(f"[bench:dgn] {tag} {eps:.3e} edges/s "
+                      f"[layout={data_slab.seg_mode}/"
+                      f"bn{data_slab.seg_block_n}]", file=sys.stderr)
+                if eps > best_eps:
+                    best_eps, best_tag = eps, tag
+            except Exception:
+                print(f"[bench:dgn] variant {tag} FAILED",
+                      file=sys.stderr)
+                traceback.print_exc()
+
+    return {"metric": "train_edges_per_s_per_chip_dgn",
+            "value": round(best_eps, 1), "unit": "edges/s",
+            "vs_baseline": round(best_eps / plain_eps, 3),
+            "path": best_tag}
+
+
 def main():
     import jax
     try:
@@ -211,6 +300,13 @@ def main():
     from gsn_tpu.train.loop import TrainerConfig
 
     records = []
+
+    # ---- DGN flagship (directional aggregators) -------------------------
+    try:
+        records.append(bench_dgn(make_dgn_like(BATCH_GRAPHS)))
+    except Exception:
+        print("[bench] dgn workload FAILED entirely", file=sys.stderr)
+        traceback.print_exc()
 
     # ---- molhiv-scale GSN-VN-AF flagship --------------------------------
     try:

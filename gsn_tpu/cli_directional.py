@@ -67,6 +67,16 @@ def build_parser():
     a("--multiprocessing", type=parse.str2bool, default=True)
     a("--num_processes", type=int, default=8)
     a("--device", type=str, default="default")
+    # TPU perf knobs (mirror gsn_tpu.cli; ADVICE r3)
+    a("--use_mxu", type=parse.str2bool, default=True,
+      help="slab-layout batches: directional aggregators ride the "
+           "weighted one-hot MXU kernel (ops/pallas/slab_weighted.py)")
+    a("--compute_dtype", type=str, default=None,
+      choices=[None, "None", "bfloat16"],
+      help="'bfloat16' = bf16 matmuls/activations (f32 BN stats, loss, "
+           "readout head)")
+    a("--dropout_rng", type=str, default="threefry",
+      choices=["threefry", "rbg"])
     return p
 
 
@@ -136,7 +146,10 @@ def main(args: Dict):
         in_feat_dropout=args["in_feat_dropout"], dropout=args["dropout"],
         graph_norm=args["graph_norm"], batch_norm=args["batch_norm"],
         pos_enc_dim=args["pos_enc_dim"],
-        posttrans_layers=args["posttrans_layers"], out_features=num_tasks)
+        posttrans_layers=args["posttrans_layers"], out_features=num_tasks,
+        compute_dtype=(None if args.get("compute_dtype") in (None, "None")
+                       else args["compute_dtype"]),
+        dropout_rng=args.get("dropout_rng", "threefry"))
     model = DGNNet(cfg)
 
     tcfg = TrainerConfig(
@@ -146,7 +159,8 @@ def main(args: Dict):
         patience=args["lr_schedule_patience"], min_lr=args["min_lr"],
         batch_size=args["batch_size"], num_epochs=args["epochs"],
         loss_fn="BCEWithLogitsLoss", prediction_fn="None",
-        evaluator="rocauc", seed=args["seed"], caps_mode="worst")
+        evaluator="rocauc", seed=args["seed"], caps_mode="worst",
+        use_mxu_segment_sum=bool(args.get("use_mxu", True)))
 
     trainer = Trainer(cfg, tcfg, train, model=model)
     example = next(iterate_batches(train, tcfg.batch_size,

@@ -56,6 +56,10 @@ class GraphBatch:
                                               default=None)
     seg_mode: Optional[str] = struct.field(pytree_node=False,
                                            default=None)  # aligned | slab
+    # adaptive sender-window width in node blocks (slab mode): computed
+    # per batch by build_slab_metadata; the kernel must be launched with
+    # exactly this value
+    seg_s_s: Optional[int] = struct.field(pytree_node=False, default=None)
     # host-precomputed receiver in-degree [N] float32 (constant per
     # batch; saves an on-device segment-sum in the fused kernel's
     # second-dense bias correction)
@@ -211,6 +215,7 @@ def batch_graphs(
     seg_recv_local = seg_chunks = seg_send_local = None
     seg_mode = None
     seg_in_degree = None
+    seg_s_s = None
     if mxu_layout is not None:
         seg_mode = mxu_layout.get("mode", "aligned")
         edge_ids = identifiers if (has_ids and id_on_edges) else None
@@ -218,10 +223,17 @@ def batch_graphs(
                  else _apply_mxu_layout)
         kw = {k: v for k, v in mxu_layout.items() if k != "mode"}
         (edge_index, edge_mask, edge_features, edge_ids,
-         seg_recv_local, seg_chunks, seg_send_local) = apply(
+         seg_recv_local, seg_chunks, seg_send_local, seg_s_s,
+         edge_eig) = apply(
             edge_index, edge_mask, edge_features, edge_ids,
-            node_cap, **kw)
+            node_cap, edge_eig=edge_eig, **kw)
         if seg_recv_local is None:
+            import logging
+            logging.getLogger("gsn_tpu").warning(
+                "%s-layout metadata did not build for this batch "
+                "(receiver/sender spans exceed the kernel's limits); "
+                "falling back to the plain XLA aggregation path",
+                seg_mode)
             seg_mode = None
         else:
             sel = (0 if mxu_layout.get("flow", "source_to_target")
@@ -272,6 +284,7 @@ def batch_graphs(
             "block_n", 128 if seg_mode == "slab" else 256)
             if seg_mode is not None else None),
         seg_mode=seg_mode,
+        seg_s_s=seg_s_s if seg_mode == "slab" else None,
         seg_in_degree=(np.asarray(seg_in_degree)
                        if seg_in_degree is not None else None),
         pool_recv_local=(np.asarray(pool_recv_local)
@@ -285,7 +298,7 @@ def batch_graphs(
 
 def _apply_slab_layout(edge_index, edge_mask, edge_features, edge_ids,
                        node_cap, flow="source_to_target",
-                       block_n=128, block_e=256):
+                       block_n=128, block_e=256, edge_eig=None):
     """Slab-mode metadata (ops/pallas/slab_message.py): edges stay dense,
     just recv-sorted; per-chunk fb/wf + local indices.  Returns all-None
     metadata when spans are violated (callers fall back)."""
@@ -303,6 +316,8 @@ def _apply_slab_layout(edge_index, edge_mask, edge_features, edge_ids,
         edge_features = edge_features[sort_perm]
     if edge_ids is not None:
         edge_ids = edge_ids[sort_perm]
+    if edge_eig is not None:
+        edge_eig = edge_eig[sort_perm]
 
     # pad edges to a chunk multiple
     pad = (-E) % block_e
@@ -315,23 +330,35 @@ def _apply_slab_layout(edge_index, edge_mask, edge_features, edge_ids,
                 * (edge_features.ndim - 1))
         if edge_ids is not None:
             edge_ids = np.pad(edge_ids, ((0, pad), (0, 0)))
+        if edge_eig is not None:
+            edge_eig = np.pad(edge_eig, ((0, pad), (0, 0)))
 
     padded_nodes = max(-(-node_cap // block_n), S_S) * block_n
-    meta = build_slab_metadata(
-        edge_index[select], edge_index[1 - select], edge_mask,
-        padded_nodes, block_n, block_e)
+    # sparse batches (low average degree) can make a 256-edge chunk's
+    # receivers straddle 3 node blocks; halving the chunk halves the id
+    # range per chunk, so retry with smaller block_e before giving up
+    # (edge arrays are padded to the ORIGINAL block_e multiple, which
+    # every smaller power-of-two divides)
+    meta = None
+    for be in [b for b in (block_e, 128, 64) if b <= block_e]:
+        meta = build_slab_metadata(
+            edge_index[select], edge_index[1 - select], edge_mask,
+            padded_nodes, block_n, be)
+        if meta is not None:
+            break
     if meta is None:
         return (edge_index, edge_mask, edge_features, edge_ids,
-                None, None, None)
+                None, None, None, None, edge_eig)
     seg_chunks = np.stack([meta["fb"], meta["wf"]])
     return (edge_index, edge_mask, edge_features, edge_ids,
-            meta["recv_local"], seg_chunks, meta["send_local"])
+            meta["recv_local"], seg_chunks, meta["send_local"],
+            meta["s_s"], edge_eig)
 
 
 def _apply_mxu_layout(edge_index, edge_mask, edge_features, edge_ids,
                       node_cap, flow="source_to_target",
                       block_n=256, block_e=256,
-                      num_chunks=None):
+                      num_chunks=None, edge_eig=None):
     """Re-emit per-edge arrays in the block-aligned order required by the
     Pallas MXU segment-sum (ops/pallas/segment_mxu.py): sort real edges
     by receiver, insert per-node-block padding, static chunk count."""
@@ -389,7 +416,13 @@ def _apply_mxu_layout(edge_index, edge_mask, edge_features, edge_ids,
     else:
         send_local = None
         win_first = np.zeros(len(layout["chunk_nb"]), np.int32)
+    if edge_eig is not None:
+        new_eeig = np.zeros((len(perm),) + edge_eig.shape[1:],
+                            edge_eig.dtype)
+        new_eeig[valid] = edge_eig[perm[valid]]
+        edge_eig = new_eeig
     seg_chunks = np.stack([layout["chunk_nb"], layout["chunk_first"],
                            win_first])
     return (new_ei, new_mask, new_ef, new_ids,
-            layout["recv_local"], seg_chunks, send_local)
+            layout["recv_local"], seg_chunks, send_local, None,
+            edge_eig)

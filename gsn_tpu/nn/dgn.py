@@ -126,6 +126,58 @@ def dgn_aggregate(
     raise NotImplementedError(f"aggregator {name!r}")
 
 
+def dgn_weight_and_post(name: str, vf, dst, num_nodes, edge_mask,
+                        inv_deg):
+    """Express an aggregator as (w [E], post(agg_k, h_in) -> [N, d]) for
+    the ONE-PASS weighted slab kernel (ops/pallas/slab_weighted.py):
+    out_k[v] = Σ_e w_e h_src(e), then a cheap local post.  Returns None
+    for aggregators that are not plain weighted sums (max/min/var/std
+    stay on the segment path).  Math identical to ``dgn_aggregate``."""
+    em = edge_mask
+    ident = lambda agg, h_in: agg  # noqa: E731
+    if name == "sum":
+        return em.astype(jnp.float32), ident
+    if name == "mean":
+        return inv_deg[dst] * em, ident
+    if not name.startswith("dir"):
+        return None
+    parts = name.split("-", 1)
+    eig_idx = int(parts[0][3:])
+    kind = parts[1]
+    col = vf[:, eig_idx]
+    if kind == "av":
+        w = _dir_weights(col, dst, num_nodes, em, signed=False)
+        return jnp.where(em, w, 0.0), ident
+    if kind in ("dx", "dx-no-abs", "dx-balanced"):
+        if kind == "dx-balanced":
+            front = nn.relu(col)
+            back = nn.relu(-col)
+            df = masked_segment_sum(jnp.abs(front), dst, num_nodes, em)
+            db = masked_segment_sum(jnp.abs(back), dst, num_nodes, em)
+            u = (front / (df[dst] + EPS) + back / (db[dst] + EPS)) / 2.0
+        else:
+            u = _dir_weights(col, dst, num_nodes, em, signed=True)
+        u = jnp.where(em, u, 0.0)
+        u_sum = masked_segment_sum(u, dst, num_nodes, em)
+
+        def post(agg, h_in, u_sum=u_sum, absa=(kind != "dx-no-abs")):
+            out = agg - u_sum[:agg.shape[0], None] * h_in
+            return jnp.abs(out) if absa else out
+
+        return u, post
+    # softmax: 'dir{i}-0.1' / 'dir{i}-neg-0.1'
+    alpha_str = kind
+    neg = alpha_str.startswith("neg-")
+    alpha = float(alpha_str[4:]) if neg else float(alpha_str)
+    if neg:
+        alpha = -alpha
+    logits = alpha * jnp.abs(col)
+    seg_max = masked_segment_max(logits, dst, num_nodes, em)
+    ex = jnp.where(em, jnp.exp(logits - seg_max[dst]), 0.0)
+    denom = masked_segment_sum(ex, dst, num_nodes, em)
+    return ex / (denom[dst] + EPS), ident
+
+
 def dgn_scale(name: str, h: jnp.ndarray, deg: jnp.ndarray,
               avg_d: Dict[str, float]) -> jnp.ndarray:
     """PNA degree scalers (reference scalers.py); deg = in-degree [N]."""
@@ -150,12 +202,15 @@ class DGNMlp(nn.Module):
     hidden: int
     out: int
     layers: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.layers - 1):
-            x = nn.relu(nn.Dense(self.hidden, name=f"fc_{i}")(x))
-        return nn.Dense(self.out, name=f"fc_{self.layers - 1}")(x)
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype,
+                                 name=f"fc_{i}")(x))
+        return nn.Dense(self.out, dtype=self.dtype,
+                        name=f"fc_{self.layers - 1}")(x)
 
 
 class DGNLayerSimple(nn.Module):
@@ -174,6 +229,8 @@ class DGNLayerSimple(nn.Module):
     batch_norm: bool = True
     residual: bool = True
     posttrans_layers: int = 1
+    dtype: Optional[jnp.dtype] = None   # compute dtype (bf16 matmuls)
+    dropout_rng: str = "threefry"
 
     @nn.compact
     def __call__(self, h, data: GraphBatch, snorm_n=None, train=False):
@@ -190,28 +247,69 @@ class DGNLayerSimple(nn.Module):
         vf = jnp.concatenate(vf_parts, axis=1) if vf_parts else None
 
         h_in = h
-        h_src = h[src]
         deg = masked_segment_sum(jnp.ones_like(dst, jnp.float32), dst, n, em)
 
-        agg = jnp.concatenate(
-            [dgn_aggregate(a, h_src, vf, h_in, dst, n, em)
-             for a in self.aggregators], axis=1)
+        # one-pass weighted slab kernel for every aggregator that is a
+        # plain weighted sum (sum/mean/dir-*); max/min/var/std keep the
+        # segment path.  Outputs are re-assembled in the configured
+        # aggregator order so parameters/numerics match the reference
+        # concat layout (dgn_layer.py:42-53).
+        seg_ok = (data.seg_recv_local is not None
+                  and data.seg_mode == "slab" and data.ep_axis is None)
+        parts = [None] * len(self.aggregators)
+        kernel_idx, kernel_w, kernel_post = [], [], []
+        if seg_ok:
+            inv_deg = 1.0 / jnp.maximum(deg, 1.0)
+            for i, a in enumerate(self.aggregators):
+                wp = dgn_weight_and_post(a, vf, dst, n, em, inv_deg)
+                if wp is not None:
+                    kernel_idx.append(i)
+                    kernel_w.append(wp[0])
+                    kernel_post.append(wp[1])
+        if kernel_idx:
+            from gsn_tpu.ops.pallas.slab_weighted import (
+                S_S, slab_weighted_gather)
+            block_n = data.seg_block_n
+            block_e = (data.seg_recv_local.shape[0]
+                       // data.seg_chunks.shape[1])
+            padded = max(-(-n // block_n), S_S) * block_n
+            W = jnp.stack(kernel_w, axis=1)
+            out = slab_weighted_gather(
+                h, W, data.seg_recv_local, data.seg_send_local,
+                data.seg_chunks, n, padded, block_n, block_e,
+                jax.default_backend() == "cpu",
+                data.seg_s_s if data.seg_s_s is not None else S_S)
+            d = h.shape[1]
+            for j, i in enumerate(kernel_idx):
+                parts[i] = kernel_post[j](out[:n, j * d:(j + 1) * d],
+                                          h_in)
+        h_src = None
+        for i, a in enumerate(self.aggregators):
+            if parts[i] is None:
+                if h_src is None:
+                    h_src = h[src]
+                parts[i] = dgn_aggregate(a, h_src, vf, h_in, dst, n, em)
+        agg = jnp.concatenate(parts, axis=1)
         if len(self.scalers) > 1:
             agg = jnp.concatenate(
                 [dgn_scale(s, agg, deg, self.avg_d) for s in self.scalers],
                 axis=1)
 
         h = DGNMlp(self.out_dim, self.out_dim, self.posttrans_layers,
-                   name="posttrans")(agg)
+                   dtype=self.dtype, name="posttrans")(agg)
         if self.graph_norm:
-            h = h * snorm_n
+            h = h * (snorm_n.astype(h.dtype) if self.dtype else snorm_n)
         if self.batch_norm:
+            # f32 statistics, output in h's dtype (ops/norm.py)
             h = MaskedBatchNorm(name="bn")(h, nm,
                                            use_running_average=not train)
         h = nn.relu(h)
         if self.residual and h_in.shape[-1] == self.out_dim:
-            h = h_in + h
-        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+            h = h_in.astype(h.dtype) + h
+        from .models import NodeDropout
+        h = NodeDropout(self.dropout, ep_axis=None,
+                        rng_impl=self.dropout_rng)(
+            h, deterministic=not train)
         return h
 
 
@@ -236,6 +334,10 @@ class DGNConfig:
     pos_enc_dim: int = 0
     posttrans_layers: int = 1
     out_features: int = 1
+    compute_dtype: Optional[str] = None   # 'bfloat16': bf16 matmuls +
+    #                                       bf16 activations (f32 BN
+    #                                       stats / loss / readout head)
+    dropout_rng: str = "threefry"         # 'rbg': hardware bit generator
 
 
 class DGNNet(nn.Module):
@@ -250,6 +352,8 @@ class DGNNet(nn.Module):
         nm = data.node_mask
         num_graphs = data.num_graph_slots
 
+        cdt = jnp.dtype(c.compute_dtype) if c.compute_dtype else None
+
         h = DiscreteEmbedding("atom_encoder", data.x.shape[1], None,
                               c.hidden_dim, name="embedding_h")(
                                   data.x, nm, train)
@@ -257,6 +361,10 @@ class DGNNet(nn.Module):
         if c.pos_enc_dim > 0 and data.node_eig is not None:
             pos = data.node_eig[:, 1:c.pos_enc_dim + 1]
             h = h + nn.Dense(c.hidden_dim, name="embedding_pos_enc")(pos)
+        if cdt:
+            # activations travel bf16 between layers (BN stats, the
+            # aggregator weights and the readout head stay f32)
+            h = h.astype(cdt)
 
         # snorm_n = sqrt(1/n_g) per node (reference HIV.py collate :176-178)
         sizes = masked_segment_sum(nm.astype(jnp.float32), data.batch,
@@ -271,8 +379,11 @@ class DGNNet(nn.Module):
                 scalers=tuple(c.scalers), avg_d=avg_d, dropout=c.dropout,
                 graph_norm=c.graph_norm, batch_norm=c.batch_norm,
                 residual=c.residual, posttrans_layers=c.posttrans_layers,
+                dtype=cdt, dropout_rng=c.dropout_rng,
                 name=f"layer_{i}")(h, data, snorm, train)
 
+        if cdt:
+            h = h.astype(jnp.float32)   # f32 readout reductions + head
         if c.readout == "sum":
             hg = masked_segment_sum(h, data.batch, num_graphs, nm)
         elif c.readout == "max":

@@ -122,7 +122,7 @@ class EdgeMessageMLP(nn.Module):
         # --- fused Pallas path ----------------------------------------
         if fused_seg is not None:
             (recv_local, send_local, cwf, block_n, n_nodes, mode,
-             in_deg) = fused_seg
+             in_deg, s_s) = fused_seg
             block_e = recv_local.shape[0] // cwf.shape[1]
             interpret = jax.default_backend() == "cpu"
             # compute_dtype=bfloat16: keep kernel data bf16 so every
@@ -148,6 +148,8 @@ class EdgeMessageMLP(nn.Module):
             if mode == "slab":
                 from gsn_tpu.ops.pallas.slab_message import (
                     S_R, S_S, slab_edge_message_aggregate)
+                if s_s is None:
+                    s_s = S_S
                 if self.ep_axis is not None:
                     # split index spaces (must mirror make_ep_batch)
                     padded = max(-(-n_nodes // block_n), S_R) * block_n
@@ -167,7 +169,8 @@ class EdgeMessageMLP(nn.Module):
                             A_in, B_in, pe_in, b_eff, recv_local,
                             send_local, cwf, n_nodes, padded, block_n,
                             block_e, "id_sq", pe is not None,
-                            interpret, padded_send, ddt)[:n_nodes]
+                            interpret, padded_send, ddt, True,
+                            s_s)[:n_nodes]
                         n_e = (jnp.sum(in_deg[:n_nodes])
                                if in_deg is not None
                                else jnp.sum(
@@ -191,7 +194,7 @@ class EdgeMessageMLP(nn.Module):
                     A_in, B_in, pe_in, b_eff,
                     recv_local, send_local, cwf, n_nodes, padded,
                     block_n, block_e, act_k, pe is not None,
-                    interpret, padded_send, ddt)[:n_nodes]
+                    interpret, padded_send, ddt, True, s_s)[:n_nodes]
             else:
                 from gsn_tpu.ops.pallas.fused_message import \
                     fused_edge_message_aggregate
@@ -366,8 +369,9 @@ class GSNLayer(nn.Module):
                     and self.activation_mlp in ("relu", "identity")):
                 recv_local, chunks, block_n, send_local, mode = seg[:5]
                 in_deg = seg[5] if len(seg) > 5 else None
+                seg_s_s = seg[6] if len(seg) > 6 else None
                 fused_seg = (recv_local, send_local, chunks, block_n,
-                             n_nodes, mode, in_deg)
+                             n_nodes, mode, in_deg, seg_s_s)
             out_or_msgs = EdgeMessageMLP(
                 self.d_msg if self.d_msg is not None else x.shape[-1],
                 tuple(self.d_h), self.activation_mlp, self.bn_mlp,
@@ -420,6 +424,8 @@ class GSNLayer(nn.Module):
                 from gsn_tpu.ops.pallas.slab_message import (
                     S_R, S_S, slab_edge_message_aggregate)
                 recv_local, chunks, block_n, send_local, _m = seg[:5]
+                s_s = (seg[6] if len(seg) > 6 and seg[6] is not None
+                       else S_S)
                 block_e = recv_local.shape[0] // chunks.shape[1]
                 padded = max(-(-n_nodes // block_n),
                              S_R if self.ep_axis is not None else S_S
@@ -450,7 +456,7 @@ class GSNLayer(nn.Module):
                         recv_local, send_local, chunks, n_nodes, padded,
                         block_n, block_e, "identity",
                         edge_arr is not None, interp,
-                        padded_send, ddt, False)[:n_nodes]
+                        padded_send, ddt, False, s_s)[:n_nodes]
 
                 agg_parts = [slab_part(node_arr=x)]
                 if self.use_ids:
@@ -492,6 +498,8 @@ class GSNLayer(nn.Module):
                 from gsn_tpu.ops.pallas.slab_message import (
                     S_R, S_S, slab_edge_message_aggregate)
                 recv_local, chunks, block_n, send_local, _m = seg[:5]
+                s_s = (seg[6] if len(seg) > 6 and seg[6] is not None
+                       else S_S)
                 block_e = recv_local.shape[0] // chunks.shape[1]
                 padded = max(-(-n_nodes // block_n),
                              S_R if self.ep_axis is not None else S_S
@@ -526,7 +534,7 @@ class GSNLayer(nn.Module):
                     recv_local, send_local, chunks, n_nodes, padded,
                     block_n, block_e, "relu", pe is not None,
                     _jax.default_backend() == "cpu",
-                    padded_send, ddt, False)[:n_nodes]
+                    padded_send, ddt, False, s_s)[:n_nodes]
             else:
                 m = x_j
                 if self.use_ids:

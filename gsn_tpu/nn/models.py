@@ -209,7 +209,8 @@ class GNNSubstructures(nn.Module):
                     seg=(None if data.seg_recv_local is None
                          else (data.seg_recv_local, data.seg_chunks,
                                data.seg_block_n, data.seg_send_local,
-                               data.seg_mode, data.seg_in_degree)))
+                               data.seg_mode, data.seg_in_degree,
+                               data.seg_s_s)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",
@@ -335,7 +336,8 @@ class GNN_OGB(nn.Module):
                     seg=(None if data.seg_recv_local is None
                          else (data.seg_recv_local, data.seg_chunks,
                                data.seg_block_n, data.seg_send_local,
-                               data.seg_mode, data.seg_in_degree)))
+                               data.seg_mode, data.seg_in_degree,
+                               data.seg_s_s)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",

@@ -40,14 +40,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .onehot_dot import onehot_dot, onehot_dot3, onehot_dot_t
 
 S_R = 2   # receiver span (node blocks per slab)
-S_S = 4   # sender window (node blocks)
+S_S = 4   # default/floor sender window (node blocks); callers pad the
+#           shared node space to >= S_S blocks, and the ADAPTIVE window
+#           (build_slab_metadata's per-batch s_s) is what the kernel
+#           actually reads — typically 2-3 on molecular batches, up to
+#           MAX_WINDOW when a graph spans multiple node blocks
+MAX_WINDOW = 8   # VMEM guard: widest per-chunk B window the kernel loads
 
 
 def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
                         edge_mask: np.ndarray, num_nodes: int,
                         block_n: int = 128,
                         block_e: int = 256,
-                        num_send_nodes: Optional[int] = None
+                        num_send_nodes: Optional[int] = None,
+                        s_s: Optional[int] = None
                         ) -> Optional[Dict]:
     """Per-chunk metadata for dense recv-sorted edges.
 
@@ -57,12 +63,21 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
     are global ids into the all-gathered node array; default None means
     one shared space (single-device layout).
 
+    ``s_s``: sender-window width in blocks.  None (default) ADAPTS it to
+    this batch: the max over chunks of the sender block span, clamped to
+    [2, min(MAX_WINDOW, send_blocks)] — molecular batches need 2-3
+    (vs the old fixed 4: less VMEM traffic, a smaller oh_s dot and dB
+    slab per chunk), while graphs wider than block_n nodes get a wider
+    window instead of falling off the kernel path entirely (the r3 cap).
+    Pass an explicit value to force uniformity across shards (EP builds
+    one program for all shards).
+
     Returns dict with ``fb`` [C] (chunk's first recv block, clipped so
     fb+S_R fits the receiver space), ``wf`` [C] (sender window first
-    block, derived from the chunk's actual senders and clipped to the
-    sender space), ``recv_local`` [E] in [0, S_R*block_n) or -1,
-    ``send_local`` [E] in [0, S_S*block_n) or -1 — or None when any
-    chunk violates the spans.
+    block, clipped to the sender space), ``recv_local`` [E] in
+    [0, S_R*block_n) or -1, ``send_local`` [E] in [0, s_s*block_n) or
+    -1, and ``s_s`` — or None when any chunk violates the spans.  The
+    kernel MUST be invoked with this metadata's ``s_s``.
     """
     E = len(recv)
     if E % block_e:
@@ -70,21 +85,19 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
     num_blocks = -(-num_nodes // block_n)
     send_blocks = (num_blocks if num_send_nodes is None
                    else -(-num_send_nodes // block_n))
-    if num_blocks < S_R or send_blocks < S_S:
+    if num_blocks < S_R:
         return None
     C = E // block_e
     fb = np.zeros(C, np.int32)
-    wf = np.zeros(C, np.int32)
     recv_local = np.full(E, -1, np.int32)
-    send_local = np.full(E, -1, np.int32)
+    chunk_rows = []        # (t, r, s, m) for the second pass
+    span_needed = 1
     prev_fb = 0
-    prev_wf = 0
     for t in range(C):
         lo, hi = t * block_e, (t + 1) * block_e
         m = edge_mask[lo:hi]
         if not m.any():
             fb[t] = prev_fb
-            wf[t] = prev_wf
             continue
         r = recv[lo:hi][m]
         s = send[lo:hi][m]
@@ -92,34 +105,53 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
         f = min(f, num_blocks - S_R)
         if (r.max() // block_n) - f >= S_R:
             return None           # receiver span too wide (sparse batch)
-        # sender window anchored at the chunk's actual senders (disjoint
-        # -union batches give sender locality, so a 4-block window holds
-        # whenever each graph has <= block_n nodes)
-        w = min(int(s.min() // block_n), send_blocks - S_S)
-        sl = s - w * block_n
-        if (sl < 0).any() or (sl >= S_S * block_n).any():
-            return None           # a graph exceeds block_n nodes
+        span_needed = max(span_needed,
+                          int(s.max() // block_n) - int(s.min() // block_n)
+                          + 1)
         rl = np.full(block_e, -1, np.int32)
         rl[m] = (r - f * block_n).astype(np.int32)
+        recv_local[lo:hi] = rl
+        fb[t] = f
+        prev_fb = f
+        chunk_rows.append((t, s, m))
+    if s_s is None:
+        # a window as wide as the whole (padded) sender space always
+        # fits trivially, so clamping to send_blocks can only help
+        s_s = min(max(span_needed, 2), send_blocks)
+        if span_needed > s_s and span_needed > send_blocks:
+            return None           # cannot happen: spans <= send space
+    if s_s > MAX_WINDOW or s_s > send_blocks:
+        return None
+    wf = np.zeros(C, np.int32)
+    send_local = np.full(E, -1, np.int32)
+    prev_wf = 0
+    rows = dict((t, (s, m)) for t, s, m in chunk_rows)
+    for t in range(C):
+        if t not in rows:
+            wf[t] = prev_wf
+            continue
+        s, m = rows[t]
+        lo = t * block_e
+        w = min(int(s.min() // block_n), send_blocks - s_s)
+        sl = s - w * block_n
+        if (sl < 0).any() or (sl >= s_s * block_n).any():
+            return None           # span wider than the forced s_s
         sv = np.full(block_e, -1, np.int32)
         sv[m] = sl.astype(np.int32)
-        recv_local[lo:hi] = rl
-        send_local[lo:hi] = sv
-        fb[t] = f
+        send_local[lo:lo + block_e] = sv
         wf[t] = w
-        prev_fb = f
         prev_wf = w
     return {"fb": fb, "wf": wf, "recv_local": recv_local,
             "send_local": send_local, "block_n": block_n,
-            "block_e": block_e, "num_blocks": num_blocks}
+            "block_e": block_e, "num_blocks": num_blocks, "s_s": s_s}
 
 
-def _onehots(recv_ref, send_ref, block_n):
+def _onehots(recv_ref, send_ref, block_n, s_s):
     recv = recv_ref[...].reshape(-1, 1).astype(jnp.int32)
     send = send_ref[...].reshape(-1, 1).astype(jnp.int32)
     Be = recv.shape[0]
     cols_r = jax.lax.broadcasted_iota(jnp.int32, (Be, S_R * block_n), 1)
-    cols_s = jax.lax.broadcasted_iota(jnp.int32, (Be, S_S * block_n), 1)
+    cols_s = jax.lax.broadcasted_iota(jnp.int32, (Be, s_s * block_n), 1)
     oh_r = jnp.where(cols_r == recv, 1.0, 0.0).astype(jnp.float32)
     oh_s = jnp.where(cols_s == send, 1.0, 0.0).astype(jnp.float32)
     return oh_r, oh_s
@@ -147,11 +179,11 @@ def _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe):
 
 def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
                 *refs, block_n, act, has_pe, has_a=True,
-                data_dtype="float32"):
+                data_dtype="float32", s_s=S_S):
     a_refs = refs[:2] if has_a else ()
-    b_refs = refs[2:6] if has_a else refs[0:4]
+    b_refs = refs[2:2 + s_s] if has_a else refs[0:s_s]
     bias_ref, slab_ref = refs[-2], refs[-1]
-    oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
+    oh_r, oh_s = _onehots(recv_ref, send_ref, block_n, s_s)
     h = _h(oh_r, oh_s, a_refs, b_refs, pe_ref, bias_ref, has_pe)
     if act == "relu":
         h = jnp.maximum(h, 0.0)
@@ -173,15 +205,16 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
 
 def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
                 *refs, block_n, act, has_pe, has_a=True,
-                data_dtype="float32"):
+                data_dtype="float32", s_s=S_S):
     a_refs = refs[:2] if has_a else ()
-    b_refs = refs[2:6] if has_a else refs[0:4]
+    b_refs = refs[2:2 + s_s] if has_a else refs[0:s_s]
+    rest = refs[(2 + s_s) if has_a else s_s:]
     if has_a:
-        bias_ref, g0, g1, dh_ref, da_slab_ref, db_slab_ref = refs[6:]
+        bias_ref, g0, g1, dh_ref, da_slab_ref, db_slab_ref = rest
     else:
-        bias_ref, g0, g1, dh_ref, db_slab_ref = refs[4:]
+        bias_ref, g0, g1, dh_ref, db_slab_ref = rest
         da_slab_ref = None
-    oh_r, oh_s = _onehots(recv_ref, send_ref, block_n)
+    oh_r, oh_s = _onehots(recv_ref, send_ref, block_n, s_s)
     g_span = jnp.concatenate([g0[...], g1[...]], 0)   # [2Bn, d or 2d]
     if data_dtype == "bfloat16" and act != "id_sq":
         g_span = g_span.astype(jnp.bfloat16)
@@ -226,27 +259,25 @@ def _at(arr, t):
     return arr[t]
 
 
-def _specs(block_e, block_n, d1, has_a=True):
+def _specs(block_e, block_n, d1, has_a=True, s_s=S_S):
     """Shared input specs: recv, send, Pe, [A-span (2 blocks) iff has_a],
-    B-window (4 blocks), bias.  has_a=False (gin/ogb: A identically 0)
-    drops the A-block DMAs entirely."""
+    B-window (``s_s`` blocks), bias.  has_a=False (gin/ogb: A
+    identically 0) drops the A-block DMAs entirely."""
     a_specs = [
         pl.BlockSpec((block_n, d1), lambda t, fb, wf: (_at(fb, t), 0)),
         pl.BlockSpec((block_n, d1),
                      lambda t, fb, wf: (_at(fb, t) + 1, 0)),
     ] if has_a else []
+    b_specs = [
+        pl.BlockSpec((block_n, d1),
+                     lambda t, fb, wf, k=k: (_at(wf, t) + k, 0))
+        for k in range(s_s)
+    ]
     return [
         pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
         pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
         pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),
-    ] + a_specs + [
-        pl.BlockSpec((block_n, d1), lambda t, fb, wf: (_at(wf, t), 0)),
-        pl.BlockSpec((block_n, d1),
-                     lambda t, fb, wf: (_at(wf, t) + 1, 0)),
-        pl.BlockSpec((block_n, d1),
-                     lambda t, fb, wf: (_at(wf, t) + 2, 0)),
-        pl.BlockSpec((block_n, d1),
-                     lambda t, fb, wf: (_at(wf, t) + 3, 0)),
+    ] + a_specs + b_specs + [
         pl.BlockSpec((1, d1), lambda t, fb, wf: (0, 0)),
     ]
 
@@ -306,15 +337,15 @@ def _nb(arr, first_block, k, block_n):
     return jax.lax.dynamic_slice_in_dim(arr, start, block_n, axis=0)
 
 
-def _ab_refs(A, B, fb, wf, t, block_n, has_a):
+def _ab_refs(A, B, fb, wf, t, block_n, has_a, s_s=S_S):
     """The per-chunk [A-span?, B-window] Ref stand-ins (emulation)."""
     a = ([_R(_nb(A, fb[t], 0, block_n)), _R(_nb(A, fb[t], 1, block_n))]
          if has_a else [])
-    return a + [_R(_nb(B, wf[t], k, block_n)) for k in range(S_S)]
+    return a + [_R(_nb(B, wf[t], k, block_n)) for k in range(s_s)]
 
 
 def _emu_fwd(fb, wf, recv3, send3, Pe, A, B, bias, block_n, block_e,
-             act, has_pe, data_dtype="float32", has_a=True):
+             act, has_pe, data_dtype="float32", has_a=True, s_s=S_S):
     """Run ``_fwd_kernel`` chunk-by-chunk without pallas_call.
 
     The interpret path must work INSIDE a checked shard_map (the EP
@@ -329,15 +360,15 @@ def _emu_fwd(fb, wf, recv3, send3, Pe, A, B, bias, block_n, block_e,
         _fwd_kernel(
             None, None, _R(recv3[t:t + 1]), _R(send3[t:t + 1]),
             _R(Pe[t * block_e:(t + 1) * block_e]),
-            *_ab_refs(A, B, fb, wf, t, block_n, has_a),
+            *_ab_refs(A, B, fb, wf, t, block_n, has_a, s_s),
             _R(bias), out, block_n=block_n, act=act, has_pe=has_pe,
-            has_a=has_a, data_dtype=data_dtype)
+            has_a=has_a, data_dtype=data_dtype, s_s=s_s)
         slabs.append(out.v)
     return jnp.concatenate(slabs, 0)
 
 
 def _emu_bwd(fb, wf, recv3, send3, Pe, A, B, bias, g, block_n, block_e,
-             act, has_pe, data_dtype="float32", has_a=True):
+             act, has_pe, data_dtype="float32", has_a=True, s_s=S_S):
     C = recv3.shape[0]
     dh, da, db = [], [], []
     for t in range(C):
@@ -346,11 +377,11 @@ def _emu_bwd(fb, wf, recv3, send3, Pe, A, B, bias, g, block_n, block_e,
         _bwd_kernel(
             None, None, _R(recv3[t:t + 1]), _R(send3[t:t + 1]),
             _R(Pe[t * block_e:(t + 1) * block_e]),
-            *_ab_refs(A, B, fb, wf, t, block_n, has_a),
+            *_ab_refs(A, B, fb, wf, t, block_n, has_a, s_s),
             _R(bias), _R(_nb(g, fb[t], 0, block_n)),
             _R(_nb(g, fb[t], 1, block_n)),
             *outs, block_n=block_n, act=act, has_pe=has_pe,
-            has_a=has_a, data_dtype=data_dtype)
+            has_a=has_a, data_dtype=data_dtype, s_s=s_s)
         dh.append(o_dh.v)
         if has_a:
             da.append(o_da.v)
@@ -396,7 +427,7 @@ def _out_struct(shape, dtype, *arrs):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
 def slab_edge_message_aggregate(
         A, B, Pe, b1,
         recv_local, send_local, fb_wf, num_real_nodes,
@@ -405,7 +436,8 @@ def slab_edge_message_aggregate(
         interpret: bool = False,
         num_send_nodes: Optional[int] = None,
         data_dtype: str = "float32",
-        has_a: bool = True):
+        has_a: bool = True,
+        s_s: int = S_S):
     """agg[v] = Σ_{e→v} act(A[recv]+B[send]+Pe+b1)   — dense edges.
 
     fb_wf: stacked [2, C] of (fb, wf).  num_nodes: padded RECEIVER rows
@@ -423,14 +455,14 @@ def slab_edge_message_aggregate(
     out, _ = _slab_fwd_impl(A, B, Pe if has_pe else None, b1, recv_local,
                             send_local, fb_wf, num_nodes, block_n,
                             block_e, act, interpret, num_send_nodes,
-                            data_dtype, has_a)
+                            data_dtype, has_a, s_s)
     return out
 
 
 def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
                    num_nodes, block_n, block_e, act, interpret,
                    num_send_nodes=None, data_dtype="float32",
-                   has_a=True):
+                   has_a=True, s_s=S_S):
     C = fb_wf.shape[1]
     d1 = A.shape[1]
     od = 2 * d1 if act == "id_sq" else d1   # joint [H, H^2] slabs
@@ -457,12 +489,12 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
                          Pe_arr, A, B,
                          b1.reshape(1, d1).astype(jnp.float32),
                          block_n, block_e, act, has_pe, data_dtype,
-                         has_a)
+                         has_a, s_s)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # fb, wf
             grid=(C,),
-            in_specs=_specs(block_e, block_n, d1, has_a),
+            in_specs=_specs(block_e, block_n, d1, has_a, s_s),
             out_specs=pl.BlockSpec((1, S_R * block_n, od),
                                    lambda t, fb, wf: (t, 0, 0)),
         )
@@ -470,7 +502,7 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
         slabs = pl.pallas_call(
             functools.partial(_fwd_kernel, block_n=block_n, act=act,
                               has_pe=has_pe, has_a=has_a,
-                              data_dtype=data_dtype),
+                              data_dtype=data_dtype, s_s=s_s),
             grid_spec=grid_spec,
             out_shape=_out_struct((C, S_R * block_n, od), odt,
                                   A, B, Pe_arr, b1, recv_local,
@@ -479,7 +511,7 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
         )(fb_wf[0], fb_wf[1],
           recv_local.reshape(C, 1, block_e),
           send_local.reshape(C, 1, block_e),
-          Pe_arr, *a_ops, B, B, B, B,
+          Pe_arr, *a_ops, *((B,) * s_s),
           b1.reshape(1, d1).astype(jnp.float32))
     out = _combine_slabs(slabs, fb_wf[0], S_R, num_blocks, block_n, od)
     if data_dtype == "bfloat16" and act != "id_sq":
@@ -493,16 +525,17 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
 
 def _slab_fwd(A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
               num_nodes, block_n, block_e, act, has_pe, interpret,
-              num_send_nodes=None, data_dtype="float32", has_a=True):
+              num_send_nodes=None, data_dtype="float32", has_a=True,
+              s_s=S_S):
     out = slab_edge_message_aggregate(
         A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
         num_nodes, block_n, block_e, act, has_pe, interpret,
-        num_send_nodes, data_dtype, has_a)
+        num_send_nodes, data_dtype, has_a, s_s)
     return out, (A, B, Pe, b1, recv_local, send_local, fb_wf)
 
 
 def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
-              num_send_nodes, data_dtype, has_a, res, g):
+              num_send_nodes, data_dtype, has_a, s_s, res, g):
     A, B, Pe, b1, recv_local, send_local, fb_wf = res
     C = fb_wf.shape[1]
     d1 = A.shape[1]
@@ -526,7 +559,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
             send_local.reshape(C, 1, block_e),
             Pe_arr, A_p, B_p,
             b1.reshape(1, d1).astype(jnp.float32), g,
-            block_n, block_e, act, has_pe, data_dtype, has_a)
+            block_n, block_e, act, has_pe, data_dtype, has_a, s_s)
     else:
         da_out_spec = [pl.BlockSpec((1, S_R * block_n, d1),
                                     lambda t, fb, wf: (t, 0, 0))] \
@@ -537,7 +570,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(C,),
-            in_specs=_specs(block_e, block_n, d1, has_a) + [
+            in_specs=_specs(block_e, block_n, d1, has_a, s_s) + [
                 pl.BlockSpec((block_n, od),
                              lambda t, fb, wf: (_at(fb, t), 0)),
                 pl.BlockSpec((block_n, od),
@@ -546,7 +579,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
             out_specs=[
                 pl.BlockSpec((block_e, d1), lambda t, fb, wf: (t, 0)),
             ] + da_out_spec + [
-                pl.BlockSpec((1, S_S * block_n, d1),
+                pl.BlockSpec((1, s_s * block_n, d1),
                              lambda t, fb, wf: (t, 0, 0)),
             ],
         )
@@ -554,14 +587,14 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel, block_n=block_n, act=act,
                               has_pe=has_pe, has_a=has_a,
-                              data_dtype=data_dtype),
+                              data_dtype=data_dtype, s_s=s_s),
             grid_spec=grid_spec,
             out_shape=[
                 _out_struct((C * block_e, d1), jnp.float32,
                             A_p, B_p, Pe_arr, b1, recv_local, send_local,
                             fb_wf, g),
             ] + da_out_shape + [
-                _out_struct((C, S_S * block_n, d1), odt,
+                _out_struct((C, s_s * block_n, d1), odt,
                             A_p, B_p, Pe_arr, b1, recv_local, send_local,
                             fb_wf, g),
             ],
@@ -569,7 +602,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
         )(fb_wf[0], fb_wf[1],
           recv_local.reshape(C, 1, block_e),
           send_local.reshape(C, 1, block_e),
-          Pe_arr, *a_ops, B_p, B_p, B_p, B_p,
+          Pe_arr, *a_ops, *((B_p,) * s_s),
           b1.reshape(1, d1).astype(jnp.float32), g, g)
         if has_a:
             dH, da_slabs, db_slabs = outs
@@ -579,7 +612,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
     dA = (_combine_slabs(da_slabs, fb_wf[0], S_R, num_blocks, block_n,
                          d1)[:A.shape[0]].astype(A.dtype)
           if da_slabs is not None else jnp.zeros_like(A))
-    dB = _combine_slabs(db_slabs, fb_wf[1], S_S, send_blocks, block_n,
+    dB = _combine_slabs(db_slabs, fb_wf[1], s_s, send_blocks, block_n,
                         d1)[:B.shape[0]].astype(B.dtype)
     db1 = jnp.sum(dH, axis=0).astype(b1.dtype)
     dPe = dH.astype(Pe.dtype) if has_pe else None

@@ -147,6 +147,7 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
     seg_recv_local = seg_chunks = seg_send_local = seg_in_degree = None
     seg_block_n = None
     seg_mode = None
+    seg_s_s = None
     if slab:
         from gsn_tpu.ops.pallas.slab_message import (S_R, S_S,
                                                      build_slab_metadata)
@@ -154,29 +155,47 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
         pad_recv = max(-(-block // block_n), S_R) * block_n
         pad_send = max(-(-N // block_n), S_S) * block_n
         C = e_cap // block_e
-        rl = np.zeros((D, e_cap), np.int32)
-        sl = np.zeros((D, e_cap), np.int32)
-        fbwf = np.zeros((D, 2, C), np.int32)
         indeg = np.zeros((D, block), np.float32)
-        ok = True
+        # two passes: the adaptive sender window (meta["s_s"]) must be
+        # UNIFORM across shards — one SPMD program runs all of them —
+        # so rebuild any shard whose own need is narrower than the max
+        metas = []
         for d in range(D):
             meta = build_slab_metadata(
                 ei_local[d, 0], ei_local[d, 1], mask[d], pad_recv,
                 block_n, block_e, num_send_nodes=pad_send)
             if meta is None:
-                ok = False
+                metas = None
                 break
-            rl[d] = meta["recv_local"]
-            sl[d] = meta["send_local"]
-            fbwf[d] = np.stack([meta["fb"], meta["wf"]])
+            metas.append(meta)
             indeg[d] = np.bincount(ei_local[d, 0][mask[d]],
                                    minlength=block)[:block]
-        if ok:
-            seg_recv_local, seg_send_local = rl, sl
-            seg_chunks = fbwf
-            seg_in_degree = indeg
-            seg_block_n = block_n
-            seg_mode = "slab"
+        if metas is not None:
+            smax = max(m["s_s"] for m in metas)
+            rl = np.zeros((D, e_cap), np.int32)
+            sl = np.zeros((D, e_cap), np.int32)
+            fbwf = np.zeros((D, 2, C), np.int32)
+            ok = True
+            for d in range(D):
+                meta = metas[d]
+                if meta["s_s"] != smax:
+                    meta = build_slab_metadata(
+                        ei_local[d, 0], ei_local[d, 1], mask[d],
+                        pad_recv, block_n, block_e,
+                        num_send_nodes=pad_send, s_s=smax)
+                if meta is None:
+                    ok = False
+                    break
+                rl[d] = meta["recv_local"]
+                sl[d] = meta["send_local"]
+                fbwf[d] = np.stack([meta["fb"], meta["wf"]])
+            if ok:
+                seg_recv_local, seg_send_local = rl, sl
+                seg_chunks = fbwf
+                seg_in_degree = indeg
+                seg_block_n = block_n
+                seg_mode = "slab"
+                seg_s_s = smax
 
     # node- vs edge-level identifiers: same disambiguation rule as
     # batch_graphs (container.py) — row count matching edges AND not
@@ -212,6 +231,7 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
         seg_send_local=seg_send_local,
         seg_block_n=seg_block_n,
         seg_mode=seg_mode,
+        seg_s_s=seg_s_s,
         seg_in_degree=seg_in_degree,
         ep_axis=axis,
     )

@@ -111,7 +111,8 @@ def check_slab_message():
         out = slab_edge_message_aggregate(
             A, B, Pe, b1, jnp.asarray(meta["recv_local"]),
             jnp.asarray(meta["send_local"]), fb_wf, N,
-            num_nodes, BN, BE, "relu", True, False)
+            num_nodes, BN, BE, "relu", True, False, None, "float32",
+            True, meta["s_s"])
         return jnp.sum(out * g_out), out
 
     def ref(A, B, Pe, b1):
@@ -213,7 +214,8 @@ def check_slab_message_bf16():
         out = slab_edge_message_aggregate(
             A, B, Pe, b1, jnp.asarray(meta["recv_local"]),
             jnp.asarray(meta["send_local"]), fb_wf, N,
-            num_nodes, BN, BE, "relu", True, False, None, "bfloat16")
+            num_nodes, BN, BE, "relu", True, False, None, "bfloat16",
+            True, meta["s_s"])
         return jnp.sum(out * g_out), out
 
     def ref(A, B, Pe, b1):
@@ -240,6 +242,61 @@ def check_slab_message_bf16():
         if name == "dPe":
             a, b = a[:E_real], b[:E_real]
         np.testing.assert_allclose(a, b, rtol=0.1, atol=0.1, err_msg=name)
+
+
+def check_slab_weighted():
+    """slab_weighted_gather (DGN directional aggregators): K per-edge
+    weight columns in one kernel pass, fwd + bwd vs segment oracle."""
+    import jax
+    import jax.numpy as jnp
+    from gsn_tpu.ops.pallas.slab_message import build_slab_metadata
+    from gsn_tpu.ops.pallas.slab_weighted import slab_weighted_gather
+
+    BN, BE, d, K = 128, 256, 70, 5
+    rng = np.random.RandomState(11)
+    recv, send, N = _random_disjoint_graphs(rng)
+    E_real = len(recv)
+    E = -(-E_real // BE) * BE
+    recv_p = np.concatenate([recv, np.zeros(E - E_real, np.int64)])
+    send_p = np.concatenate([send, np.zeros(E - E_real, np.int64)])
+    mask = np.arange(E) < E_real
+    num_nodes = max(-(-N // BN), 4) * BN
+    meta = build_slab_metadata(recv_p, send_p, mask, num_nodes, BN, BE)
+    assert meta is not None
+    B = rng.randn(N, d).astype(np.float32)
+    W = (rng.randn(E, K) * mask[:, None]).astype(np.float32)
+    fb_wf = jnp.asarray(np.stack([meta["fb"], meta["wf"]]))
+    g_out = rng.randn(num_nodes, K * d).astype(np.float32)
+
+    def fused(B, W):
+        out = slab_weighted_gather(
+            B, W, jnp.asarray(meta["recv_local"]),
+            jnp.asarray(meta["send_local"]), fb_wf, N, num_nodes,
+            BN, BE, False, meta["s_s"])
+        return jnp.sum(out * g_out), out
+
+    def ref(B, W):
+        h = B[send]
+        out = jnp.concatenate(
+            [jax.ops.segment_sum(W[:E_real, k:k + 1] * h,
+                                 jnp.asarray(recv),
+                                 num_segments=num_nodes)
+             for k in range(K)], axis=1)
+        return jnp.sum(out * g_out), out
+
+    args = (jnp.asarray(B), jnp.asarray(W))
+    (_, out_f), gf = jax.value_and_grad(fused, argnums=(0, 1),
+                                        has_aux=True)(*args)
+    (_, out_r), gr = jax.value_and_grad(ref, argnums=(0, 1),
+                                        has_aux=True)(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-3, atol=2e-3)
+    for name, a, b in zip(["dB", "dW"], gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "dW":
+            a, b = a[:E_real], b[:E_real]
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
+                                   err_msg=name)
 
 
 def check_slab_pool():
@@ -319,7 +376,7 @@ def check_slab_message_no_a():
             jnp.asarray(meta["recv_local"]),
             jnp.asarray(meta["send_local"]), fb_wf, N,
             num_nodes, BN, BE, "relu", True, False, None, "float32",
-            False)
+            False, meta["s_s"])
         return jnp.sum(out * g_out), out
 
     def ref(B, Pe):
@@ -443,6 +500,7 @@ def main():
     check("slab_message bf16 fwd+bwd", check_slab_message_bf16)
     check("slab_message has_a=False fwd+bwd", check_slab_message_no_a)
     check("fused_message fwd+bwd", check_fused_message)
+    check("slab_weighted fwd+bwd", check_slab_weighted)
     check("slab_pool fwd+bwd", check_slab_pool)
     check("slab_graph_broadcast fwd+bwd", check_graph_broadcast)
     if "--quick" not in sys.argv:

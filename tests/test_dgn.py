@@ -188,3 +188,72 @@ def test_dgn_trains_on_synthetic():
     state, hist = trainer.fit(state, train, test, log_fn=None)
     # synthetic labels are determined by triangle chords: must beat chance
     assert hist["test_accs"][-1] > 0.6, hist["test_accs"]
+
+
+SLAB = {"mode": "slab", "flow": "source_to_target",
+        "block_n": 128, "block_e": 256}
+
+
+def test_dgn_slab_kernel_matches_segment_path():
+    """The one-pass weighted slab kernel (ops/pallas/slab_weighted.py)
+    must match the masked-segment-op path for every weighted aggregator
+    kind, forward AND gradients, on a full DGNNet."""
+    graphs = _mol_like_graphs(num=48, seed=3)
+    graphs = assemble_directions(graphs, directions=("eig", "subgraphs"),
+                                 id_scope="local")
+    avg_d = compute_avg_d(graphs)
+    cfg = DGNConfig(hidden_dim=32, out_dim=32, num_layers=2,
+                    aggregators=("mean", "max", "min", "sum",
+                                 "dir1-av", "dir1-dx", "dir2-dx-no-abs",
+                                 "dir0-0.1"),
+                    avg_d=avg_d)
+    model = DGNNet(cfg)
+    caps = (768, 2048, 48)
+    plain = next(iterate_batches(graphs, 48, caps=caps, y_shape=(),
+                                 y_dtype=np.float32))
+    slab = next(iterate_batches(graphs, 48, caps=caps, y_shape=(),
+                                y_dtype=np.float32, mxu_layout=SLAB))
+    assert slab.seg_mode == "slab"
+    assert slab.node_eig is not None
+
+    variables = model.init(jax.random.PRNGKey(0), plain, train=False)
+    out_plain = np.asarray(model.apply(variables, plain, train=False))
+    out_slab = np.asarray(model.apply(variables, slab, train=False))
+    np.testing.assert_allclose(out_slab, out_plain, rtol=1e-3, atol=1e-4)
+
+    def loss(params, data):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            data, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return ((out ** 2) * data.graph_mask[:, None]).sum()
+
+    g_plain = jax.grad(loss)(variables["params"], plain)
+    g_slab = jax.grad(loss)(variables["params"], slab)
+    scale = max(float(np.max(np.abs(np.asarray(x))))
+                for x in jax.tree_util.tree_leaves(g_plain))
+    for a, b in zip(jax.tree_util.tree_leaves(g_slab),
+                    jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4 * scale)
+
+
+def test_dgn_slab_edge_eig_sorted_with_layout():
+    """edge-level vector fields must be re-sorted with the slab edge
+    order (the layout permutes edges by receiver)."""
+    graphs = _mol_like_graphs(num=24, seed=5)
+    graphs = assemble_directions(graphs, directions=("subgraphs",),
+                                 id_scope="local")
+    caps = (384, 1024, 24)
+    plain = next(iterate_batches(graphs, 24, caps=caps, y_shape=(),
+                                 y_dtype=np.float32))
+    slab = next(iterate_batches(graphs, 24, caps=caps, y_shape=(),
+                                y_dtype=np.float32, mxu_layout=SLAB))
+    assert slab.edge_eig is not None
+    # per-edge (dst, src, vf) triples must be the same SET in both
+    def trips(b):
+        em = np.asarray(b.edge_mask)
+        return sorted(map(tuple, np.concatenate(
+            [np.asarray(b.edge_index).T[em],
+             np.asarray(b.edge_eig)[em]], axis=1).tolist()))
+    assert trips(plain) == trips(slab)

@@ -329,3 +329,83 @@ def test_slab_mode_bn_mlp_fused(prepared):
                     jax.tree_util.tree_leaves(g_plain)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4 * scale)
+
+
+def _ppa_like_graphs(num_graphs=6, seed=0):
+    """ogbg-ppa shape class: ~200-260 nodes per graph (well past one
+    128-node block), avg degree ~9.  Exercises the ADAPTIVE sender
+    window (VERDICT r3 #4: the old fixed 4-block window silently
+    excluded graphs > block_n nodes)."""
+    rng = np.random.RandomState(seed)
+    graphs = []
+    for gi in range(num_graphs):
+        n = int(rng.randint(200, 260))
+        edges = {(i, i + 1) for i in range(n - 1)}
+        for _ in range(4 * n):
+            u, v = rng.randint(0, n, 2)
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+        both = sorted([(u, v) for u, v in edges]
+                      + [(v, u) for u, v in edges])
+        graphs.append({
+            "x": np.ones((n, 1), np.float32),
+            "edge_index": np.array(both, np.int64).T,
+            "y": np.int64(gi % 2),
+        })
+    return graphs
+
+
+def test_slab_mode_large_graphs_adaptive_window():
+    """Graphs of 200-260 nodes (> block_n=128) must still build slab
+    metadata — via a sender window wider than the old fixed 4 blocks —
+    and match the plain path exactly."""
+    graphs = _ppa_like_graphs()
+    vocab = [cycle_graph(3)]
+    graphs, _ = generate_dataset(graphs, vocab, id_scope="global")
+    graphs, _eid, d_id, _ed, _dd = encode(graphs, "one_hot_unique")
+
+    cfg = GSNConfig(
+        model_name="GSN_sparse", num_layers=2, d_out=16, out_features=2,
+        msg_kind="general", id_scope="global", bn=True, bn_mlp=False,
+        activation_mlp="relu", in_features=1, d_in_id=d_id).finalize()
+    model = build_model(cfg)
+
+    caps = (1536, 16384, 8)
+    plain = next(iterate_batches(graphs, 8, caps=caps))
+    slab = next(iterate_batches(graphs, 8, caps=caps, mxu_layout=SLAB))
+    assert slab.seg_mode == "slab", "large graphs must ride the kernel"
+    # a >=200-node graph spans >= 2 node blocks -> window must be > 2
+    assert slab.seg_s_s >= 3, slab.seg_s_s
+
+    variables = model.init(jax.random.PRNGKey(0), plain, train=False)
+    out_plain = np.asarray(model.apply(variables, plain, train=False))
+    out_slab = np.asarray(model.apply(variables, slab, train=False))
+    np.testing.assert_allclose(out_slab, out_plain, rtol=2e-4, atol=2e-5)
+
+    def loss(params, data):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            data, train=True, mutable=["batch_stats"])
+        return ((out ** 2) * data.graph_mask[:, None]).sum()
+
+    g_plain = jax.grad(loss)(variables["params"], plain)
+    g_slab = jax.grad(loss)(variables["params"], slab)
+    scale = max(float(np.max(np.abs(np.asarray(x))))
+                for x in jax.tree_util.tree_leaves(g_plain))
+    for a, b in zip(jax.tree_util.tree_leaves(g_slab),
+                    jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4 * scale)
+
+
+def test_adaptive_window_narrows_on_molecular_batches():
+    """Small-molecule batches need only a 2-3 block window (the r3 fixed
+    window was 4): less VMEM traffic per chunk."""
+    graphs = make_synthetic_dataset(n_per_class=24)
+    vocab = [cycle_graph(3)]
+    graphs, _ = generate_dataset(graphs, vocab, id_scope="global")
+    graphs, _eid, d_id, _ed, _dd = encode(graphs, "one_hot_unique")
+    slab = next(iterate_batches(graphs, 48, caps=(512, 1024, 48),
+                                mxu_layout=SLAB))
+    assert slab.seg_mode == "slab"
+    assert slab.seg_s_s is not None and slab.seg_s_s <= 3, slab.seg_s_s

@@ -70,7 +70,8 @@ def test_slab_forward(with_pe, e_pad):
         jnp.asarray(s["meta"]["recv_local"]),
         jnp.asarray(s["meta"]["send_local"]),
         jnp.asarray(s["fb_wf"]), s["N"],
-        s["num_nodes"], BN, BE, "relu", with_pe, True))
+        s["num_nodes"], BN, BE, "relu", with_pe, True, None,
+        "float32", True, s["meta"]["s_s"]))
     np.testing.assert_allclose(out, oracle(s), rtol=1e-4, atol=1e-4)
 
 
@@ -85,7 +86,8 @@ def test_slab_gradients():
             jnp.asarray(s["meta"]["recv_local"]),
             jnp.asarray(s["meta"]["send_local"]),
             jnp.asarray(s["fb_wf"]), s["N"],
-            s["num_nodes"], BN, BE, "relu", True, True)
+            s["num_nodes"], BN, BE, "relu", True, True, None,
+            "float32", True, s["meta"]["s_s"])
         return jnp.sum(out * g_out)
 
     def ref_loss(A, B, Pe, b1):
@@ -131,7 +133,8 @@ def test_bf16_idsq_moments_stay_f32():
         jnp.asarray(s["meta"]["recv_local"]),
         jnp.asarray(s["meta"]["send_local"]),
         jnp.asarray(s["fb_wf"]), s["N"],
-        s["num_nodes"], BN, BE, "id_sq", True, True, None, "bfloat16"))
+        s["num_nodes"], BN, BE, "id_sq", True, True, None, "bfloat16",
+        True, s["meta"]["s_s"]))
     d1 = s["A"].shape[1]
     E = s["E"]
     mean = out[:, :d1].sum(0) / E
