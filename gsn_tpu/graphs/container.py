@@ -45,9 +45,8 @@ class GraphBatch:
     # DGN vector fields (directional_gsn): node- and edge-level 'eig'
     node_eig: Optional[jnp.ndarray] = None      # [N, Dv]
     edge_eig: Optional[jnp.ndarray] = None      # [E, Dv]
-    # MXU segment-sum layout (edges pre-arranged in block-aligned order;
-    # see gsn_tpu.ops.pallas.segment_mxu): recv-local per slot and the
-    # stacked [2, C] chunk_nb/chunk_first arrays
+    # slab kernel layout (gsn_tpu.ops.pallas.slab_message): recv-local
+    # per edge slot and the stacked [2, C] fb/wf chunk arrays
     seg_recv_local: Optional[jnp.ndarray] = None  # [E] int32, -1 padding
     seg_chunks: Optional[jnp.ndarray] = None      # [3, C] int32:
     #                                     (chunk_nb, chunk_first, win_first)
@@ -55,7 +54,7 @@ class GraphBatch:
     seg_block_n: Optional[int] = struct.field(pytree_node=False,
                                               default=None)
     seg_mode: Optional[str] = struct.field(pytree_node=False,
-                                           default=None)  # aligned | slab
+                                           default=None)  # 'slab'
     # adaptive sender-window width in node blocks (slab mode): computed
     # per batch by build_slab_metadata; the kernel must be launched with
     # exactly this value
@@ -217,14 +216,16 @@ def batch_graphs(
     seg_in_degree = None
     seg_s_s = None
     if mxu_layout is not None:
-        seg_mode = mxu_layout.get("mode", "aligned")
+        seg_mode = mxu_layout.get("mode", "slab")
+        if seg_mode != "slab":
+            raise ValueError(f"unknown kernel layout mode {seg_mode!r} "
+                             "(the v1 'aligned' layout was retired in "
+                             "favor of the strictly-better slab layout)")
         edge_ids = identifiers if (has_ids and id_on_edges) else None
-        apply = (_apply_slab_layout if seg_mode == "slab"
-                 else _apply_mxu_layout)
         kw = {k: v for k, v in mxu_layout.items() if k != "mode"}
         (edge_index, edge_mask, edge_features, edge_ids,
          seg_recv_local, seg_chunks, seg_send_local, seg_s_s,
-         edge_eig) = apply(
+         edge_eig) = _apply_slab_layout(
             edge_index, edge_mask, edge_features, edge_ids,
             node_cap, edge_eig=edge_eig, **kw)
         if seg_recv_local is None:
@@ -280,9 +281,8 @@ def batch_graphs(
                     if seg_chunks is not None else None),
         seg_send_local=(np.asarray(seg_send_local)
                         if seg_send_local is not None else None),
-        seg_block_n=(mxu_layout.get(
-            "block_n", 128 if seg_mode == "slab" else 256)
-            if seg_mode is not None else None),
+        seg_block_n=(mxu_layout.get("block_n", 128)
+                     if seg_mode is not None else None),
         seg_mode=seg_mode,
         seg_s_s=seg_s_s if seg_mode == "slab" else None,
         seg_in_degree=(np.asarray(seg_in_degree)
@@ -353,76 +353,3 @@ def _apply_slab_layout(edge_index, edge_mask, edge_features, edge_ids,
     return (edge_index, edge_mask, edge_features, edge_ids,
             meta["recv_local"], seg_chunks, meta["send_local"],
             meta["s_s"], edge_eig)
-
-
-def _apply_mxu_layout(edge_index, edge_mask, edge_features, edge_ids,
-                      node_cap, flow="source_to_target",
-                      block_n=256, block_e=256,
-                      num_chunks=None, edge_eig=None):
-    """Re-emit per-edge arrays in the block-aligned order required by the
-    Pallas MXU segment-sum (ops/pallas/segment_mxu.py): sort real edges
-    by receiver, insert per-node-block padding, static chunk count."""
-    from gsn_tpu.ops.pallas.segment_mxu import (build_block_aligned_layout,
-                                                static_num_chunks)
-
-    select = 0 if flow == "target_to_source" else 1
-    recv = edge_index[select].astype(np.int64)
-    real = np.nonzero(edge_mask)[0]
-    order = real[np.argsort(recv[real], kind="stable")]
-
-    # re-pack: sorted real edges first (the layout builder requires it)
-    E = edge_index.shape[1]
-    sort_perm = np.concatenate(
-        [order, np.setdiff1d(np.arange(E), real)])
-    edge_index = edge_index[:, sort_perm]
-    edge_mask = edge_mask[sort_perm]
-    if edge_features is not None:
-        edge_features = edge_features[sort_perm]
-    if edge_ids is not None:
-        edge_ids = edge_ids[sort_perm]
-
-    # >= 3 blocks so the fused kernel's 3-block sender windows exist
-    padded_nodes = max(-(-node_cap // block_n), 3) * block_n
-    if num_chunks is None:
-        num_chunks = static_num_chunks(E, padded_nodes, block_n, block_e)
-    layout = build_block_aligned_layout(
-        edge_index[select], padded_nodes, block_n, block_e,
-        edge_mask=edge_mask, num_chunks=num_chunks)
-
-    perm = layout["perm"]
-    valid = layout["recv_local"] >= 0
-    new_ei = np.zeros((2, len(perm)), edge_index.dtype)
-    new_ei[:, valid] = edge_index[:, perm[valid]]
-    new_mask = valid
-    new_ef = None
-    if edge_features is not None:
-        new_ef = np.zeros((len(perm),) + edge_features.shape[1:],
-                          edge_features.dtype)
-        new_ef[valid] = edge_features[perm[valid]]
-    new_ids = None
-    if edge_ids is not None:
-        new_ids = np.zeros((len(perm),) + edge_ids.shape[1:],
-                           edge_ids.dtype)
-        new_ids[valid] = edge_ids[perm[valid]]
-    # sender window metadata for the fused message kernel; None when a
-    # graph exceeds block_n nodes (fused path then falls back)
-    from gsn_tpu.ops.pallas.fused_message import build_window_sends
-    num_blocks = padded_nodes // block_n
-    ws = build_window_sends(edge_index[1 - select], layout["perm"],
-                            layout["recv_local"], layout["chunk_nb"],
-                            block_n, num_blocks)
-    if ws is not None:
-        send_local, win_first = ws
-    else:
-        send_local = None
-        win_first = np.zeros(len(layout["chunk_nb"]), np.int32)
-    if edge_eig is not None:
-        new_eeig = np.zeros((len(perm),) + edge_eig.shape[1:],
-                            edge_eig.dtype)
-        new_eeig[valid] = edge_eig[perm[valid]]
-        edge_eig = new_eeig
-    seg_chunks = np.stack([layout["chunk_nb"], layout["chunk_first"],
-                           win_first])
-    return (new_ei, new_mask, new_ef, new_ids,
-            layout["recv_local"], seg_chunks, send_local, None,
-            edge_eig)

@@ -145,65 +145,55 @@ class EdgeMessageMLP(nn.Module):
             # a single-dense MLP has no hidden activation (reference
             # models_misc.mlp applies act between layers only)
             act_k = self.activation if len(widths) > 1 else "identity"
-            if mode == "slab":
-                from gsn_tpu.ops.pallas.slab_message import (
-                    S_R, S_S, slab_edge_message_aggregate)
-                if s_s is None:
-                    s_s = S_S
-                if self.ep_axis is not None:
-                    # split index spaces (must mirror make_ep_batch)
-                    padded = max(-(-n_nodes // block_n), S_R) * block_n
-                    padded_send = max(
-                        -(-B_in.shape[0] // block_n), S_S) * block_n
-                else:
-                    padded = max(-(-n_nodes // block_n), S_S) * block_n
-                    padded_send = None
-                if self.batch_norm and len(widths) > 1:
-                    # fused BN: BN of the affine pre-activation H is an
-                    # affine reparametrization of (A, B, Pe, bias); the
-                    # masked moments come from one joint [H, H^2] slab
-                    # pass (padding edges carry recv_local == -1 and
-                    # contribute nothing, matching the edge_mask BN)
-                    if train:
-                        hs = slab_edge_message_aggregate(
-                            A_in, B_in, pe_in, b_eff, recv_local,
-                            send_local, cwf, n_nodes, padded, block_n,
-                            block_e, "id_sq", pe is not None,
-                            interpret, padded_send, ddt, True,
-                            s_s)[:n_nodes]
-                        n_e = (jnp.sum(in_deg[:n_nodes])
-                               if in_deg is not None
-                               else jnp.sum(
-                                   jnp.where(recv_local >= 0, 1.0, 0.0)))
-                        moments = (n_e, jnp.sum(hs[:, :d1], 0),
-                                   jnp.sum(hs[:, d1:], 0))
-                    else:
-                        moments = (1.0, jnp.zeros(d1, jnp.float32),
-                                   jnp.zeros(d1, jnp.float32))
-                    bn = MaskedBatchNorm(name="bn_0",
-                                         axis_name=self.axis_name)
-                    mean, var, sc, bi = bn(None,
-                                           use_running_average=not train,
-                                           moments=moments)
-                    s = sc * jax.lax.rsqrt(var + bn.epsilon)
-                    A_in = A_in * s
-                    B_in = B_in * s
-                    pe_in = pe_in * s if pe_in is not None else None
-                    b_eff = (b_eff - mean) * s + bi
-                agg = slab_edge_message_aggregate(
-                    A_in, B_in, pe_in, b_eff,
-                    recv_local, send_local, cwf, n_nodes, padded,
-                    block_n, block_e, act_k, pe is not None,
-                    interpret, padded_send, ddt, True, s_s)[:n_nodes]
+            from gsn_tpu.ops.pallas.slab_message import (
+                S_R, S_S, slab_edge_message_aggregate)
+            if s_s is None:
+                s_s = S_S
+            if self.ep_axis is not None:
+                # split index spaces (must mirror make_ep_batch)
+                padded = max(-(-n_nodes // block_n), S_R) * block_n
+                padded_send = max(
+                    -(-B_in.shape[0] // block_n), S_S) * block_n
             else:
-                from gsn_tpu.ops.pallas.fused_message import \
-                    fused_edge_message_aggregate
-                padded = max(-(-n_nodes // block_n), 3) * block_n
-                agg = fused_edge_message_aggregate(
-                    A_in, B_in, pe_in, b_eff,
-                    recv_local, send_local, cwf, padded, block_n,
-                    block_e, act_k, pe is not None,
-                    interpret)[:n_nodes]
+                padded = max(-(-n_nodes // block_n), S_S) * block_n
+                padded_send = None
+            if self.batch_norm and len(widths) > 1:
+                # fused BN: BN of the affine pre-activation H is an
+                # affine reparametrization of (A, B, Pe, bias); the
+                # masked moments come from one joint [H, H^2] slab
+                # pass (padding edges carry recv_local == -1 and
+                # contribute nothing, matching the edge_mask BN)
+                if train:
+                    hs = slab_edge_message_aggregate(
+                        A_in, B_in, pe_in, b_eff, recv_local,
+                        send_local, cwf, n_nodes, padded, block_n,
+                        block_e, "id_sq", pe is not None,
+                        interpret, padded_send, ddt, True,
+                        s_s)[:n_nodes]
+                    n_e = (jnp.sum(in_deg[:n_nodes])
+                           if in_deg is not None
+                           else jnp.sum(
+                               jnp.where(recv_local >= 0, 1.0, 0.0)))
+                    moments = (n_e, jnp.sum(hs[:, :d1], 0),
+                               jnp.sum(hs[:, d1:], 0))
+                else:
+                    moments = (1.0, jnp.zeros(d1, jnp.float32),
+                               jnp.zeros(d1, jnp.float32))
+                bn = MaskedBatchNorm(name="bn_0",
+                                     axis_name=self.axis_name)
+                mean, var, sc, bi = bn(None,
+                                       use_running_average=not train,
+                                       moments=moments)
+                s = sc * jax.lax.rsqrt(var + bn.epsilon)
+                A_in = A_in * s
+                B_in = B_in * s
+                pe_in = pe_in * s if pe_in is not None else None
+                b_eff = (b_eff - mean) * s + bi
+            agg = slab_edge_message_aggregate(
+                A_in, B_in, pe_in, b_eff,
+                recv_local, send_local, cwf, n_nodes, padded,
+                block_n, block_e, act_k, pe is not None,
+                interpret, padded_send, ddt, True, s_s)[:n_nodes]
             if len(widths) == 1:
                 return agg
             # second dense commutes with the sum; its per-message bias
@@ -222,9 +212,8 @@ class EdgeMessageMLP(nn.Module):
                     + cwf[0][jnp.arange(recv_local.shape[0]) // block_e]
                     * block_n,
                     num_segments=padded)[:n_nodes]
-                # (cwf[0] is the chunk's first node block in both modes,
-                # and recv_local is relative to it, so the global recv
-                # above is correct for aligned and slab layouts alike)
+                # (cwf[0] is the chunk's first node block and recv_local
+                # is relative to it, so the global recv above is correct)
             # bf16 compute: stay in bf16 (the deg*b2 term is computed f32
             # and rounded once); f32 otherwise
             return out + (deg[:, None] * b2).astype(out.dtype)
@@ -572,24 +561,6 @@ class GSNLayer(nn.Module):
         return self.eps
 
     def _aggregate(self, msgs, recv, n_nodes, edge_mask, seg=None):
-        if (seg is not None and self.aggr == "add"
-                and (len(seg) < 5 or seg[4] == "aligned")):
-            # MXU Pallas path: edges are pre-arranged block-aligned by
-            # the batcher (ops/pallas/segment_mxu.py); padding slots
-            # carry recv_local == -1 so no mask multiply is needed
-            import jax as _jax
-
-            from gsn_tpu.ops.pallas.segment_mxu import \
-                mxu_segment_sum_aligned
-            recv_local, chunks, block_n = seg[0], seg[1], seg[2]
-            block_e = recv_local.shape[0] // chunks.shape[1]
-            # layout guarantees >= 3 node blocks (fused-kernel windows)
-            padded = max(-(-n_nodes // block_n), 3) * block_n
-            interpret = _jax.default_backend() == "cpu"
-            out = mxu_segment_sum_aligned(
-                msgs, recv_local, chunks, padded, block_n, block_e,
-                interpret)
-            return out[:n_nodes]
         if self.aggr == "add":
             return masked_segment_sum(msgs, recv, n_nodes, edge_mask)
         if self.aggr == "mean":

@@ -16,8 +16,8 @@ bf16 MXU pass.  Mosaic's only exact alternative, Precision.HIGHEST,
 emulates a full f32xf32 contract (6+ passes) — twice the MXU work for
 the same answer when one operand is a selection matrix.
 
-Used inside Pallas kernels (slab_message, slab_pool, fused_message,
-segment_mxu).  Helpers are plain jnp, so they also trace fine outside
+Used inside Pallas kernels (slab_message, slab_pool, slab_weighted).
+Helpers are plain jnp, so they also trace fine outside
 Pallas, but at XLA level prefer ``lax.Precision.HIGH`` (same bf16x3
 scheme without materializing the split).
 """

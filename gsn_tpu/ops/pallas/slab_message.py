@@ -1,17 +1,20 @@
 """Slab-based fused edge-message kernel — v2, zero edge inflation.
 
-v1 (``fused_message.py``) aligned edge chunks to node blocks, which
+v1 (retired in r4) aligned edge chunks to node blocks, which
 padded edge arrays by 25-45% and taxed every edge-level op.  v2 keeps
 the batch's edge arrays *dense* (original recv-sorted order, padding at
 the tail) and lets each Be-edge chunk write a private output slab
 covering the S_R=2 node blocks its receivers span; slabs are then
 combined with one cheap sorted segment-sum over (C*S_R) block-rows.
-Sender windows span S_S=4 blocks around the chunk's first block.
+Sender windows span s_s blocks around the chunk's first sender block,
+with s_s ADAPTED per batch by ``build_slab_metadata`` (2-3 on molecular
+batches; wider for graphs spanning multiple node blocks, up to
+MAX_WINDOW).
 
 Per chunk (all in VMEM, MXU matmuls):
 
-    oh_r [Be, 2Bn]  receiver one-hot within the chunk's 2-block span
-    oh_s [Be, 4Bn]  sender one-hot within the 4-block window
+    oh_r [Be, 2Bn]    receiver one-hot within the chunk's 2-block span
+    oh_s [Be, s_s*Bn] sender one-hot within the s_s-block window
     H    = oh_r @ A_span + oh_s @ B_win (+ Pe + b1);  Hact = act(H)
     slab[t] = oh_rᵀ @ Hact                  # [2Bn, d], no revisiting
 
@@ -19,11 +22,12 @@ Backward returns dH = oh_r @ g_span (masked by act'), and the dA/dB
 scatters are the same slab trick with oh_rᵀ / oh_sᵀ — no XLA scatter
 anywhere.
 
-Validity: every sender of an edge received in block fb..fb+1 lies in
-blocks fb-1..fb+2 provided each graph has <= Bn nodes, and a chunk's
-receivers span <= 2 blocks when its 256 sorted receivers cover < 2*Bn
-node ids — true for molecular batches; the host builder returns None on
-violation and callers fall back to the unfused path.
+Validity: the adaptive window covers each chunk's actual sender block
+span (graphs up to ~(MAX_WINDOW-1)*Bn nodes), and a chunk's receivers
+span <= 2 blocks when its block_e sorted receivers cover < 2*Bn node
+ids — true for molecular batches (the batcher retries with smaller
+block_e for sparse ones); the host builder returns None on violation
+and callers fall back to the unfused path.
 """
 
 from __future__ import annotations

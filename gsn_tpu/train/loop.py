@@ -53,8 +53,8 @@ class TrainerConfig:
     shuffle: bool = True
     caps_mode: str = "worst"   # 'worst' = one shape forever; 'tight' =
     #                            per-epoch bucketed caps (skewed datasets)
-    # Pallas kernel edge layout: False = plain XLA; True = "slab" (the
-    # fast v2 layout); or a mode string ("slab" / "aligned")
+    # Pallas kernel edge layout: False = plain XLA; True / "slab" = the
+    # slab layout (the only kernel layout since r4)
     use_mxu_segment_sum: object = False
     scan_epochs: bool = True   # run each epoch as ONE lax.scan dispatch
     #   (contiguous same-shape batch runs).  Small-graph workloads are
@@ -82,8 +82,7 @@ class Trainer:
         self.caps = (epoch_caps(graphs_train, tcfg.batch_size)
                      if tcfg.caps_mode == "worst" else None)
         self.y_shape, self.y_dtype = infer_y_spec(graphs_train)
-        # use_mxu_segment_sum: True -> "slab" (the fast v2 layout,
-        # PERFORMANCE.md); or the layout-mode string ("slab"/"aligned")
+        # use_mxu_segment_sum: True -> "slab" (PERFORMANCE.md)
         self.mxu_layout = None
         if tcfg.use_mxu_segment_sum:
             mode = ("slab" if tcfg.use_mxu_segment_sum is True

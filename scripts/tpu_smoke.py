@@ -59,30 +59,6 @@ def _random_disjoint_graphs(rng, n_graphs=12, lo=6, hi=40):
     return np.array(recv)[order], np.array(send)[order], off
 
 
-def check_segment_mxu():
-    import jax
-    import jax.numpy as jnp
-    from gsn_tpu.ops.pallas.segment_mxu import (build_block_aligned_layout,
-                                                segment_sum_via_mxu)
-
-    rng = np.random.RandomState(0)
-    n, e, d = 512, 1700, 64
-    recv = np.sort(rng.randint(0, n, e))
-    msgs = rng.randn(e, d).astype(np.float32)
-    layout = build_block_aligned_layout(recv, n, block_n=128, block_e=256)
-    g_out = rng.randn(n, d).astype(np.float32)
-
-    def loss(m):
-        return jnp.sum(segment_sum_via_mxu(m, layout, n) * g_out)
-
-    out = np.asarray(segment_sum_via_mxu(jnp.asarray(msgs), layout, n))
-    grad = np.asarray(jax.grad(loss)(jnp.asarray(msgs)))
-    want = np.zeros((n, d), np.float32)
-    np.add.at(want, recv, msgs)
-    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(grad, g_out[recv], rtol=1e-4, atol=1e-4)
-
-
 def check_slab_message():
     import jax
     import jax.numpy as jnp
@@ -134,114 +110,6 @@ def check_slab_message():
             a, b = a[:E_real], b[:E_real]
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3,
                                    err_msg=name)
-
-
-def check_fused_message():
-    import jax
-    import jax.numpy as jnp
-    from gsn_tpu.ops.pallas.fused_message import (
-        build_window_sends, fused_edge_message_aggregate)
-    from gsn_tpu.ops.pallas.segment_mxu import build_block_aligned_layout
-
-    BN, BE, d = 128, 128, 32
-    rng = np.random.RandomState(2)
-    recv, send, N = _random_disjoint_graphs(rng, n_graphs=10)
-    num_nodes = max(-(-N // BN), 3) * BN
-    layout = build_block_aligned_layout(recv, num_nodes, BN, BE)
-    ws = build_window_sends(send, layout["perm"], layout["recv_local"],
-                            layout["chunk_nb"], BN, num_nodes // BN)
-    assert ws is not None
-    send_local, win_first = ws
-    A = rng.randn(N, d).astype(np.float32)
-    B = rng.randn(N, d).astype(np.float32)
-    b1 = rng.randn(d).astype(np.float32)
-    cwf = jnp.asarray(np.stack(
-        [layout["chunk_nb"], layout["chunk_first"], win_first]))
-    g_out = rng.randn(num_nodes, d).astype(np.float32)
-
-    def fused(A, B, b1):
-        out = fused_edge_message_aggregate(
-            A, B, jnp.zeros((1, 1)), b1,
-            jnp.asarray(layout["recv_local"]), jnp.asarray(send_local),
-            cwf, num_nodes, BN, BE, "relu", False, False)
-        return jnp.sum(out * g_out), out
-
-    def ref(A, B, b1):
-        H = jnp.maximum(A[recv] + B[send] + b1, 0.0)
-        out = jax.ops.segment_sum(H, jnp.asarray(recv),
-                                  num_segments=num_nodes)
-        return jnp.sum(out * g_out), out
-
-    args = tuple(map(jnp.asarray, (A, B, b1)))
-    (_, out_f), gf = jax.value_and_grad(fused, argnums=(0, 1, 2),
-                                        has_aux=True)(*args)
-    (_, out_r), gr = jax.value_and_grad(ref, argnums=(0, 1, 2),
-                                        has_aux=True)(*args)
-    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
-                               rtol=1e-3, atol=1e-3)
-    for name, a, b in zip(["dA", "dB", "db1"], gf, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-3, err_msg=name)
-
-
-def check_slab_message_bf16():
-    """data_dtype='bfloat16' (single-pass one-hot dots): must compile on
-    Mosaic and stay bf16-close to the f32 oracle, fwd + bwd."""
-    import jax
-    import jax.numpy as jnp
-    from gsn_tpu.ops.pallas.slab_message import (build_slab_metadata,
-                                                 slab_edge_message_aggregate)
-
-    BN, BE, d = 128, 256, 64
-    rng = np.random.RandomState(7)
-    recv, send, N = _random_disjoint_graphs(rng)
-    E_real = len(recv)
-    E = -(-E_real // BE) * BE
-    recv_p = np.concatenate([recv, np.zeros(E - E_real, np.int64)])
-    send_p = np.concatenate([send, np.zeros(E - E_real, np.int64)])
-    mask = np.arange(E) < E_real
-    num_nodes = max(-(-N // BN), 4) * BN
-    meta = build_slab_metadata(recv_p, send_p, mask, num_nodes, BN, BE)
-    assert meta is not None
-    A = rng.randn(N, d).astype(np.float32)
-    B = rng.randn(N, d).astype(np.float32)
-    b1 = rng.randn(d).astype(np.float32)
-    Pe = rng.randn(len(meta["fb"]) * BE, d).astype(np.float32) * 0.1
-    fb_wf = jnp.asarray(np.stack([meta["fb"], meta["wf"]]))
-    g_out = rng.randn(num_nodes, d).astype(np.float32)
-
-    def fused(A, B, Pe, b1):
-        out = slab_edge_message_aggregate(
-            A, B, Pe, b1, jnp.asarray(meta["recv_local"]),
-            jnp.asarray(meta["send_local"]), fb_wf, N,
-            num_nodes, BN, BE, "relu", True, False, None, "bfloat16",
-            True, meta["s_s"])
-        return jnp.sum(out * g_out), out
-
-    def ref(A, B, Pe, b1):
-        Ab = A.astype(jnp.bfloat16).astype(jnp.float32)
-        Bb = B.astype(jnp.bfloat16).astype(jnp.float32)
-        Pb = Pe.astype(jnp.bfloat16).astype(jnp.float32)
-        H = jnp.maximum(Ab[recv] + Bb[send] + Pb[:E_real] + b1, 0.0)
-        out = jax.ops.segment_sum(
-            H.astype(jnp.bfloat16).astype(jnp.float32),
-            jnp.asarray(recv), num_segments=num_nodes)
-        return jnp.sum(out * g_out), out
-
-    args = tuple(map(jnp.asarray, (A, B, Pe, b1)))
-    (_, out_f), gf = jax.value_and_grad(fused, argnums=(0, 1, 2, 3),
-                                        has_aux=True)(*args)
-    (_, out_r), gr = jax.value_and_grad(ref, argnums=(0, 1, 2, 3),
-                                        has_aux=True)(*args)
-    # bf16 rounding tolerance: values are O(1) sums of <=40 messages
-    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
-                               rtol=0.05, atol=0.05)
-    for name, a, b in zip(["dA", "dB", "dPe", "db1"], gf, gr):
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        if name == "dPe":
-            a, b = a[:E_real], b[:E_real]
-        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.1, err_msg=name)
 
 
 def check_slab_weighted():
@@ -495,11 +363,9 @@ def main():
         pass
     print(f"[smoke] platform: {jax.devices()[0].platform}", flush=True)
 
-    check("segment_mxu fwd+bwd", check_segment_mxu)
     check("slab_message fwd+bwd", check_slab_message)
     check("slab_message bf16 fwd+bwd", check_slab_message_bf16)
     check("slab_message has_a=False fwd+bwd", check_slab_message_no_a)
-    check("fused_message fwd+bwd", check_fused_message)
     check("slab_weighted fwd+bwd", check_slab_weighted)
     check("slab_pool fwd+bwd", check_slab_pool)
     check("slab_graph_broadcast fwd+bwd", check_graph_broadcast)
