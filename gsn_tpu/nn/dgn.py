@@ -178,6 +178,142 @@ def dgn_weight_and_post(name: str, vf, dst, num_nodes, edge_mask,
     return ex / (denom[dst] + EPS), ident
 
 
+def _node_sums_via_slab(cols, data: GraphBatch, n: int):
+    """ONE slab-kernel pass summing K' per-edge scalar columns to nodes.
+
+    XLA's scalar [E]->[N] scatter fusions measured ~0.65 ms EACH on the
+    molhiv shape (~0.6 GB/s); the dir-weight denominators need ~5 of
+    them.  Batched through the slab kernel (A=0, B=0, Pe=columns,
+    identity act) they cost one small kernel launch."""
+    import jax as _jax
+
+    from gsn_tpu.ops.pallas.slab_message import (
+        S_S, slab_edge_message_aggregate)
+    K = len(cols)
+    Pe = jnp.stack(cols, axis=1)
+    block_n = data.seg_block_n
+    block_e = data.seg_recv_local.shape[0] // data.seg_chunks.shape[1]
+    padded = max(-(-n // block_n), S_S) * block_n
+    zero = jnp.zeros((n, K), jnp.float32)
+    out = slab_edge_message_aggregate(
+        zero, zero, Pe, jnp.zeros((K,), jnp.float32),
+        data.seg_recv_local, data.seg_send_local, data.seg_chunks, n,
+        padded, block_n, block_e, "identity", True,
+        _jax.default_backend() == "cpu", None, "float32", False,
+        data.seg_s_s if data.seg_s_s is not None else S_S)
+    return out[:n]
+
+
+def build_agg_ctx(aggregators, data: GraphBatch, n: int) -> Dict:
+    """Layer-invariant aggregation context: the per-edge vector field,
+    in-degrees, and — when the batch carries slab metadata — the stacked
+    weight columns W [E, K] + post fns for every aggregator expressible
+    as a weighted sum (one weighted-kernel pass per layer; var/std keep
+    the segment path; max/min ride slab_segment_minmax inside the
+    layer).  Outputs re-assemble in configured aggregator order so
+    numerics match the reference concat layout (dgn_layer.py:42-53).
+
+    All scalar node-sum denominators (degree, Σ|vf_i|, Σvf_i, ...) are
+    batched into ONE kernel pass (`_node_sums_via_slab`)."""
+    src = data.edge_index[0]
+    dst = data.edge_index[1]
+    em = data.edge_mask
+    emf = em.astype(jnp.float32)
+    vf_parts = []
+    if data.node_eig is not None:
+        vf_parts.append(data.node_eig[src] - data.node_eig[dst])
+    if data.edge_eig is not None:
+        vf_parts.append(data.edge_eig)
+    vf = jnp.concatenate(vf_parts, axis=1) if vf_parts else None
+
+    seg_ok = (data.seg_recv_local is not None
+              and data.seg_mode == "slab" and data.ep_axis is None)
+    if not seg_ok:
+        deg = masked_segment_sum(jnp.ones_like(dst, jnp.float32), dst,
+                                 n, em)
+        return {"vf": vf, "deg": deg, "kernel_idx": [], "W": None,
+                "posts": []}
+
+    # ---- phase 1: collect every scalar column that needs a node sum
+    cols = [emf]                      # degree
+    plans = []                        # (kind, eig_idx, col slot(s))
+    ident = lambda agg, h_in: agg     # noqa: E731
+
+    def _alloc(*cs):
+        i0 = len(cols)
+        cols.extend(cs)
+        return list(range(i0, i0 + len(cs)))
+
+    for a in aggregators:
+        if a == "sum":
+            plans.append(("sum", None, None))
+        elif a == "mean":
+            plans.append(("mean", None, None))
+        elif a.startswith("dir"):
+            head, kind = a.split("-", 1)
+            ei = int(head[3:])
+            col = vf[:, ei]
+            if kind == "av":
+                plans.append(("av", ei, _alloc(jnp.abs(col) * emf)))
+            elif kind in ("dx", "dx-no-abs"):
+                plans.append((kind, ei,
+                              _alloc(jnp.abs(col) * emf, col * emf)))
+            elif kind == "dx-balanced":
+                plans.append((kind, ei,
+                              _alloc(nn.relu(col) * emf,
+                                     nn.relu(-col) * emf)))
+            else:
+                plans.append(("softmax", ei, None))   # segment path w
+        else:
+            plans.append((None, None, None))   # max/min/var/std
+
+    sums = _node_sums_via_slab(cols, data, n)
+    deg = sums[:, 0]
+    inv_deg = 1.0 / jnp.maximum(deg, 1.0)
+    # ONE [E]-gather of every per-node quantity the weights need (per-
+    # column gathers were ~0.5 ms each on the molhiv shape)
+    sums_e = jnp.concatenate([sums, inv_deg[:, None]], axis=1)[dst]
+
+    # ---- phase 2: weights + posts from the node sums
+    kernel_idx, kernel_w, posts = [], [], []
+    for i, (a, (kind, ei, slots)) in enumerate(zip(aggregators, plans)):
+        if kind is None:
+            continue
+        if kind == "sum":
+            w, post = emf, ident
+        elif kind == "mean":
+            w, post = sums_e[:, -1] * emf, ident
+        elif kind == "av":
+            w = jnp.abs(vf[:, ei]) / (sums_e[:, slots[0]] + EPS) * emf
+            post = ident
+        elif kind in ("dx", "dx-no-abs"):
+            denom = sums[:, slots[0]]
+            w = vf[:, ei] / (sums_e[:, slots[0]] + EPS) * emf
+            u_sum = sums[:, slots[1]] / (denom + EPS)
+
+            def post(agg, h_in, u_sum=u_sum, absa=(kind != "dx-no-abs")):
+                out = agg - u_sum[:agg.shape[0], None] * h_in
+                return jnp.abs(out) if absa else out
+        elif kind == "dx-balanced":
+            df, db = sums[:, slots[0]], sums[:, slots[1]]
+            col = vf[:, ei]
+            w = (nn.relu(col) / (sums_e[:, slots[0]] + EPS)
+                 + nn.relu(-col) / (sums_e[:, slots[1]] + EPS)) \
+                / 2.0 * emf
+            u_sum = (df / (df + EPS) + db / (db + EPS)) / 2.0
+
+            def post(agg, h_in, u_sum=u_sum):
+                return jnp.abs(agg - u_sum[:agg.shape[0], None] * h_in)
+        else:   # softmax: w needs a scalar segment max — segment path
+            w, post = dgn_weight_and_post(a, vf, dst, n, em, inv_deg)
+        kernel_idx.append(i)
+        kernel_w.append(w)
+        posts.append(post)
+    return {"vf": vf, "deg": deg, "kernel_idx": kernel_idx,
+            "W": jnp.stack(kernel_w, axis=1) if kernel_idx else None,
+            "posts": posts}
+
+
 def dgn_scale(name: str, h: jnp.ndarray, deg: jnp.ndarray,
               avg_d: Dict[str, float]) -> jnp.ndarray:
     """PNA degree scalers (reference scalers.py); deg = in-degree [N]."""
@@ -233,39 +369,25 @@ class DGNLayerSimple(nn.Module):
     dropout_rng: str = "threefry"
 
     @nn.compact
-    def __call__(self, h, data: GraphBatch, snorm_n=None, train=False):
+    def __call__(self, h, data: GraphBatch, snorm_n=None, train=False,
+                 agg_ctx=None):
         src = data.edge_index[0]
         dst = data.edge_index[1]
         em, nm = data.edge_mask, data.node_mask
         n = h.shape[0]
 
-        vf_parts = []
-        if data.node_eig is not None:
-            vf_parts.append(data.node_eig[src] - data.node_eig[dst])
-        if data.edge_eig is not None:
-            vf_parts.append(data.edge_eig)
-        vf = jnp.concatenate(vf_parts, axis=1) if vf_parts else None
+        # the vector field, degrees and all per-edge aggregator weights
+        # are LAYER-INVARIANT — DGNNet computes them once and passes the
+        # context down (the recomputed scalar segment ops were a
+        # measured ~10% of the r4 step); standalone layer calls build it
+        # locally
+        if agg_ctx is None:
+            agg_ctx = build_agg_ctx(self.aggregators, data, n)
+        vf, deg = agg_ctx["vf"], agg_ctx["deg"]
 
         h_in = h
-        deg = masked_segment_sum(jnp.ones_like(dst, jnp.float32), dst, n, em)
-
-        # one-pass weighted slab kernel for every aggregator that is a
-        # plain weighted sum (sum/mean/dir-*); max/min/var/std keep the
-        # segment path.  Outputs are re-assembled in the configured
-        # aggregator order so parameters/numerics match the reference
-        # concat layout (dgn_layer.py:42-53).
-        seg_ok = (data.seg_recv_local is not None
-                  and data.seg_mode == "slab" and data.ep_axis is None)
         parts = [None] * len(self.aggregators)
-        kernel_idx, kernel_w, kernel_post = [], [], []
-        if seg_ok:
-            inv_deg = 1.0 / jnp.maximum(deg, 1.0)
-            for i, a in enumerate(self.aggregators):
-                wp = dgn_weight_and_post(a, vf, dst, n, em, inv_deg)
-                if wp is not None:
-                    kernel_idx.append(i)
-                    kernel_w.append(wp[0])
-                    kernel_post.append(wp[1])
+        kernel_idx = agg_ctx["kernel_idx"]
         if kernel_idx:
             from gsn_tpu.ops.pallas.slab_weighted import (
                 S_S, slab_weighted_gather)
@@ -273,16 +395,33 @@ class DGNLayerSimple(nn.Module):
             block_e = (data.seg_recv_local.shape[0]
                        // data.seg_chunks.shape[1])
             padded = max(-(-n // block_n), S_S) * block_n
-            W = jnp.stack(kernel_w, axis=1)
+            s_s = data.seg_s_s if data.seg_s_s is not None else S_S
+            interp = jax.default_backend() == "cpu"
+            bf16 = self.dtype == jnp.bfloat16
+            ddt = "bfloat16" if bf16 else "float32"
+            hk = h.astype(jnp.bfloat16 if bf16 else jnp.float32)
             out = slab_weighted_gather(
-                h, W, data.seg_recv_local, data.seg_send_local,
-                data.seg_chunks, n, padded, block_n, block_e,
-                jax.default_backend() == "cpu",
-                data.seg_s_s if data.seg_s_s is not None else S_S)
+                hk, agg_ctx["W"], data.seg_recv_local,
+                data.seg_send_local, data.seg_chunks, n, padded,
+                block_n, block_e, interp, s_s, ddt)
             d = h.shape[1]
             for j, i in enumerate(kernel_idx):
-                parts[i] = kernel_post[j](out[:n, j * d:(j + 1) * d],
-                                          h_in)
+                parts[i] = agg_ctx["posts"][j](
+                    out[:n, j * d:(j + 1) * d], h_in)
+            # max + min in one segmented-tree-scan kernel pass
+            mm_idx = [i for i, a in enumerate(self.aggregators)
+                      if a in ("max", "min")]
+            if mm_idx:
+                from gsn_tpu.ops.pallas.slab_minmax import \
+                    slab_segment_minmax
+                mm = slab_segment_minmax(
+                    hk, data.seg_recv_local, data.seg_send_local,
+                    data.seg_chunks, n, padded, block_n, block_e,
+                    interp, s_s, ddt)
+                for i in mm_idx:
+                    parts[i] = (mm[:n, :d]
+                                if self.aggregators[i] == "max"
+                                else -mm[:n, d:])
         h_src = None
         for i, a in enumerate(self.aggregators):
             if parts[i] is None:
@@ -372,6 +511,9 @@ class DGNNet(nn.Module):
         snorm = jnp.sqrt(1.0 / jnp.maximum(sizes, 1.0))[data.batch][:, None]
 
         avg_d = c.avg_d or {"log": 1.0}
+        # vector field + aggregator weights are layer-invariant: one
+        # context shared by all layers
+        agg_ctx = build_agg_ctx(tuple(c.aggregators), data, h.shape[0])
         for i in range(c.num_layers):
             out_dim = c.out_dim if i == c.num_layers - 1 else c.hidden_dim
             h = DGNLayerSimple(
@@ -380,7 +522,8 @@ class DGNNet(nn.Module):
                 graph_norm=c.graph_norm, batch_norm=c.batch_norm,
                 residual=c.residual, posttrans_layers=c.posttrans_layers,
                 dtype=cdt, dropout_rng=c.dropout_rng,
-                name=f"layer_{i}")(h, data, snorm, train)
+                name=f"layer_{i}")(h, data, snorm, train,
+                                   agg_ctx=agg_ctx)
 
         if cdt:
             h = h.astype(jnp.float32)   # f32 readout reductions + head

@@ -66,7 +66,7 @@ def _wdot_t(oh_r, w, h):
 
 
 def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
-                block_n, K, s_s):
+                block_n, K, s_s, data_dtype="float32"):
     b_refs = refs[:s_s]
     slab_ref = refs[-1]
     recv = recv_ref[...].reshape(-1, 1).astype(jnp.int32)
@@ -77,14 +77,21 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
     oh_r = jnp.where(cols_r == recv, 1.0, 0.0).astype(jnp.float32)
     oh_s = jnp.where(cols_s == send, 1.0, 0.0).astype(jnp.float32)
     b_win = jnp.concatenate([r[...] for r in b_refs], 0)
-    h = onehot_dot(oh_s, b_win)                       # [Be, d] f32
-    parts = [_wdot_t(oh_r, w, h)                      # [2Bn, d] each
-             for w in _w_cols(w_ref, K)]
+    h = onehot_dot(oh_s, b_win)                       # [Be, d] f32 acc
+    if data_dtype == "bfloat16":
+        # compute_dtype mode: h and w both bf16 -> ONE pass per weight
+        # column (same rounding class as the rest of the bf16 path)
+        hb = h.astype(jnp.bfloat16)
+        parts = [onehot_dot_t((oh_r * w).astype(jnp.bfloat16), hb)
+                 for w in _w_cols(w_ref, K)]
+    else:
+        parts = [_wdot_t(oh_r, w, h)                  # [2Bn, d] each
+                 for w in _w_cols(w_ref, K)]
     slab_ref[...] = jnp.concatenate(parts, axis=1)[None]
 
 
 def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
-                block_n, K, s_s):
+                block_n, K, s_s, data_dtype="float32"):
     b_refs = refs[:s_s]
     g0, g1, dw_ref, db_slab_ref = refs[s_s:]
     recv = recv_ref[...].reshape(-1, 1).astype(jnp.int32)
@@ -98,6 +105,8 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
     h = onehot_dot(oh_s, b_win)                       # [Be, d]
     d = h.shape[1]
     g_span = jnp.concatenate([g0[...], g1[...]], 0)   # [2Bn, K*d]
+    if data_dtype == "bfloat16":
+        g_span = g_span.astype(jnp.bfloat16)   # single-pass gather
     g_e = onehot_dot(oh_r, g_span)                    # [Be, K*d]
     dh = jnp.zeros_like(h)
     dws = []
@@ -106,33 +115,39 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
         dh = dh + w * g_k
         dws.append(jnp.sum(h * g_k, axis=1, keepdims=True))
     dw_ref[...] = jnp.concatenate(dws, axis=1)        # [Be, K]
+    if data_dtype == "bfloat16":
+        dh = dh.astype(jnp.bfloat16)   # single-pass scatter dot
     db_slab_ref[...] = onehot_dot_t(oh_s, dh)[None]   # [s_s*Bn, d]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def slab_weighted_gather(B, W, recv_local, send_local, fb_wf,
                          num_real_nodes,
                          num_nodes: int, block_n: int, block_e: int,
                          interpret: bool = False,
-                         s_s: int = S_S):
+                         s_s: int = S_S,
+                         data_dtype: str = "float32"):
     """out[v, k*d:(k+1)*d] = Σ_{e→v} W[e, k] · B[send(e)].
 
     ``B`` [N, d] node rows (shared send/recv index space padded to
     ``num_nodes``); ``W`` [E, K] per-edge weight columns (0 on padding
     edges); metadata exactly as ``slab_edge_message_aggregate``.
-    Returns [num_nodes, K*d] float32."""
+    ``data_dtype='bfloat16'``: single-pass bf16 dots (B, h, w all
+    rounded bf16 — the compute_dtype class of rounding); 'float32' uses
+    the ~16-bit split scheme.  Returns [num_nodes, K*d] float32."""
     out, _ = _fwd(B, W, recv_local, send_local, fb_wf, num_nodes,
-                  block_n, block_e, interpret, s_s)
+                  block_n, block_e, interpret, s_s, data_dtype)
     return out
 
 
 def _fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
-         block_e, interpret, s_s):
+         block_e, interpret, s_s, data_dtype="float32"):
     C = fb_wf.shape[1]
     d = B.shape[1]
     K = W.shape[1]
     num_blocks = num_nodes // block_n
-    B_p = _pad_nodes(B, num_nodes, jnp.float32)
+    ddt = (jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32)
+    B_p = _pad_nodes(B, num_nodes, ddt)
     W_f = W.astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -151,7 +166,8 @@ def _fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
                                lambda t, fb, wf: (t, 0, 0)),
     )
     slabs = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_n=block_n, K=K, s_s=s_s),
+        functools.partial(_fwd_kernel, block_n=block_n, K=K, s_s=s_s,
+                          data_dtype=data_dtype),
         grid_spec=grid_spec,
         out_shape=_out_struct((C, S_R * block_n, K * d), jnp.float32,
                               B_p, W_f, recv_local, send_local, fb_wf),
@@ -166,19 +182,22 @@ def _fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
 
 
 def _fwd_vjp(B, W, recv_local, send_local, fb_wf, num_real_nodes,
-             num_nodes, block_n, block_e, interpret, s_s):
+             num_nodes, block_n, block_e, interpret, s_s,
+             data_dtype="float32"):
     out, res = _fwd(B, W, recv_local, send_local, fb_wf, num_nodes,
-                    block_n, block_e, interpret, s_s)
+                    block_n, block_e, interpret, s_s, data_dtype)
     return out, res
 
 
-def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, res, g):
+def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
+             res, g):
     B, W, recv_local, send_local, fb_wf = res
     C = fb_wf.shape[1]
     d = B.shape[1]
     K = W.shape[1]
     num_blocks = num_nodes // block_n
-    B_p = _pad_nodes(B, num_nodes, jnp.float32)
+    ddt = (jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32)
+    B_p = _pad_nodes(B, num_nodes, ddt)
     W_f = W.astype(jnp.float32)
     g = jnp.pad(g.astype(jnp.float32),
                 ((0, num_nodes - g.shape[0]), (0, 0)))
@@ -207,7 +226,8 @@ def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, res, g):
         ],
     )
     dW, db_slabs = pl.pallas_call(
-        functools.partial(_bwd_kernel, block_n=block_n, K=K, s_s=s_s),
+        functools.partial(_bwd_kernel, block_n=block_n, K=K, s_s=s_s,
+                          data_dtype=data_dtype),
         grid_spec=grid_spec,
         out_shape=[
             _out_struct((C * block_e, K), jnp.float32,

@@ -98,8 +98,11 @@ def layer_throughput(device, num_graphs=512, iters=20):
                          scheduler="None", loss_fn="BCEWithLogitsLoss",
                          prediction_fn="None", shuffle=False)
     trainer = Trainer(cfg, tcfg, graphs, model=model)
-    data = next(iterate_batches(graphs, num_graphs, y_shape=(),
-                                y_dtype=np.float32))
+    data = next(iterate_batches(
+        graphs, num_graphs, y_shape=(), y_dtype=np.float32,
+        mxu_layout={"mode": "slab", "flow": "source_to_target",
+                    "block_n": 128, "block_e": 256}))
+    assert data.seg_mode == "slab", "slab metadata must build"
     real_edges = int(np.asarray(data.edge_mask).sum())
     data = jax.device_put(data)
     state = trainer.init_state(data, seed=0)

@@ -43,9 +43,29 @@ def timed(fn, *a):
 def main():
     bf16 = "--bf16" in sys.argv
     molhiv = "--molhiv" in sys.argv
+    dgn = "--dgn" in sys.argv
     summary = {"backend": jax.default_backend(), "bf16": bf16,
-               "workload": "molhiv" if molhiv else "zinc"}
-    if molhiv:
+               "workload": ("dgn" if dgn else
+                            "molhiv" if molhiv else "zinc")}
+    model = None
+    if dgn:
+        from bench import make_dgn_like
+        from gsn_tpu.nn.dgn import DGNConfig, DGNNet, compute_avg_d
+        graphs = make_dgn_like(BATCH_GRAPHS)
+        cfg = DGNConfig(
+            hidden_dim=70, out_dim=70, num_layers=4,
+            aggregators=("mean", "max", "min", "dir0-av", "dir1-av",
+                         "dir2-av", "dir3-av"),
+            scalers=("identity",), avg_d=compute_avg_d(graphs),
+            dropout=0.3, out_features=1,
+            compute_dtype="bfloat16" if bf16 else None,
+            dropout_rng="rbg" if bf16 else "threefry")
+        model = DGNNet(cfg)
+        tcfg = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
+                             scheduler="None",
+                             loss_fn="BCEWithLogitsLoss",
+                             prediction_fn="None", shuffle=False)
+    elif molhiv:
         graphs, d_id = make_molhiv_like(BATCH_GRAPHS)
         cfg = GSNConfig(
             model_name="GSN_edge_sparse_ogb", num_layers=5, d_out=300,
@@ -74,7 +94,7 @@ def main():
         tcfg = TrainerConfig(lr=1e-3, batch_size=BATCH_GRAPHS,
                              scheduler="None", loss_fn="L1Loss",
                              prediction_fn="L1Loss", shuffle=False)
-    trainer = Trainer(cfg, tcfg, graphs)
+    trainer = Trainer(cfg, tcfg, graphs, model=model)
     caps = tight_epoch_caps(np.arange(len(graphs)), graphs, BATCH_GRAPHS)
     data = next(iterate_batches(
         graphs, BATCH_GRAPHS, caps=caps, y_shape=(), y_dtype=np.float32,
@@ -116,7 +136,9 @@ def main():
 
     # --- trace a few steps of each ------------------------------------
     trace_dir = "/root/repo/profiles/step"
-    if molhiv:
+    if dgn:
+        trace_dir += "_dgn"
+    elif molhiv:
         trace_dir += "_molhiv"
     if bf16:
         trace_dir += "_bf16"

@@ -167,6 +167,57 @@ def check_slab_weighted():
                                    err_msg=name)
 
 
+def check_slab_minmax():
+    """slab_segment_minmax (DGN max/min): segmented suffix tree-scan in
+    VMEM, fwd + bwd vs segment_max oracle."""
+    import jax
+    import jax.numpy as jnp
+    from gsn_tpu.ops.pallas.slab_message import build_slab_metadata
+    from gsn_tpu.ops.pallas.slab_minmax import slab_segment_minmax
+
+    BN, BE, d = 128, 256, 70
+    rng = np.random.RandomState(13)
+    recv, send, N = _random_disjoint_graphs(rng)
+    E_real = len(recv)
+    E = -(-E_real // BE) * BE
+    recv_p = np.concatenate([recv, np.zeros(E - E_real, np.int64)])
+    send_p = np.concatenate([send, np.zeros(E - E_real, np.int64)])
+    mask = np.arange(E) < E_real
+    num_nodes = max(-(-N // BN), 4) * BN
+    meta = build_slab_metadata(recv_p, send_p, mask, num_nodes, BN, BE)
+    assert meta is not None
+    B = rng.randn(N, d).astype(np.float32)
+    fb_wf = jnp.asarray(np.stack([meta["fb"], meta["wf"]]))
+    g_out = rng.randn(num_nodes, 2 * d).astype(np.float32)
+
+    def fused(B):
+        out = slab_segment_minmax(
+            B, jnp.asarray(meta["recv_local"]),
+            jnp.asarray(meta["send_local"]), fb_wf, N, num_nodes,
+            BN, BE, False, meta["s_s"])
+        return jnp.sum(out * g_out), out
+
+    def ref(B):
+        h = B[send]
+        mx = jax.ops.segment_max(h, jnp.asarray(recv),
+                                 num_segments=num_nodes)
+        mn = jax.ops.segment_max(-h, jnp.asarray(recv),
+                                 num_segments=num_nodes)
+        out = jnp.concatenate(
+            [jnp.where(jnp.isfinite(mx), mx, 0.0),
+             jnp.where(jnp.isfinite(mn), mn, 0.0)], axis=1)
+        return jnp.sum(out * g_out), out
+
+    (_, out_f), gf = jax.value_and_grad(fused, has_aux=True)(
+        jnp.asarray(B))
+    (_, out_r), gr = jax.value_and_grad(ref, has_aux=True)(
+        jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+
 def check_slab_pool():
     import jax
     import jax.numpy as jnp
@@ -210,6 +261,66 @@ def check_slab_pool():
     np.testing.assert_allclose(np.asarray(gf)[:node_cap],
                                np.asarray(gr)[:node_cap],
                                rtol=1e-4, atol=1e-4)
+
+
+def check_slab_message_bf16():
+    """data_dtype='bfloat16' (single-pass one-hot dots): must compile on
+    Mosaic and stay bf16-close to the f32 oracle, fwd + bwd."""
+    import jax
+    import jax.numpy as jnp
+    from gsn_tpu.ops.pallas.slab_message import (build_slab_metadata,
+                                                 slab_edge_message_aggregate)
+
+    BN, BE, d = 128, 256, 64
+    rng = np.random.RandomState(7)
+    recv, send, N = _random_disjoint_graphs(rng)
+    E_real = len(recv)
+    E = -(-E_real // BE) * BE
+    recv_p = np.concatenate([recv, np.zeros(E - E_real, np.int64)])
+    send_p = np.concatenate([send, np.zeros(E - E_real, np.int64)])
+    mask = np.arange(E) < E_real
+    num_nodes = max(-(-N // BN), 4) * BN
+    meta = build_slab_metadata(recv_p, send_p, mask, num_nodes, BN, BE)
+    assert meta is not None
+    A = rng.randn(N, d).astype(np.float32)
+    B = rng.randn(N, d).astype(np.float32)
+    b1 = rng.randn(d).astype(np.float32)
+    Pe = rng.randn(len(meta["fb"]) * BE, d).astype(np.float32) * 0.1
+    fb_wf = jnp.asarray(np.stack([meta["fb"], meta["wf"]]))
+    g_out = rng.randn(num_nodes, d).astype(np.float32)
+
+    def fused(A, B, Pe, b1):
+        out = slab_edge_message_aggregate(
+            A, B, Pe, b1, jnp.asarray(meta["recv_local"]),
+            jnp.asarray(meta["send_local"]), fb_wf, N,
+            num_nodes, BN, BE, "relu", True, False, None, "bfloat16",
+            True, meta["s_s"])
+        return jnp.sum(out * g_out), out
+
+    def ref(A, B, Pe, b1):
+        Ab = A.astype(jnp.bfloat16).astype(jnp.float32)
+        Bb = B.astype(jnp.bfloat16).astype(jnp.float32)
+        Pb = Pe.astype(jnp.bfloat16).astype(jnp.float32)
+        H = jnp.maximum(Ab[recv] + Bb[send] + Pb[:E_real] + b1, 0.0)
+        out = jax.ops.segment_sum(
+            H.astype(jnp.bfloat16).astype(jnp.float32),
+            jnp.asarray(recv), num_segments=num_nodes)
+        return jnp.sum(out * g_out), out
+
+    args = tuple(map(jnp.asarray, (A, B, Pe, b1)))
+    (_, out_f), gf = jax.value_and_grad(fused, argnums=(0, 1, 2, 3),
+                                        has_aux=True)(*args)
+    (_, out_r), gr = jax.value_and_grad(ref, argnums=(0, 1, 2, 3),
+                                        has_aux=True)(*args)
+    # bf16 rounding tolerance: values are O(1) sums of <=40 messages
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=0.05, atol=0.05)
+    for name, a, b in zip(["dA", "dB", "dPe", "db1"], gf, gr):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if name == "dPe":
+            a, b = a[:E_real], b[:E_real]
+        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.1, err_msg=name)
 
 
 def check_slab_message_no_a():
@@ -367,6 +478,7 @@ def main():
     check("slab_message bf16 fwd+bwd", check_slab_message_bf16)
     check("slab_message has_a=False fwd+bwd", check_slab_message_no_a)
     check("slab_weighted fwd+bwd", check_slab_weighted)
+    check("slab_minmax fwd+bwd", check_slab_minmax)
     check("slab_pool fwd+bwd", check_slab_pool)
     check("slab_graph_broadcast fwd+bwd", check_graph_broadcast)
     if "--quick" not in sys.argv:
