@@ -350,8 +350,19 @@ class GSNLayer(nn.Module):
                   if self.compute_dtype else None)
             # fused Pallas path: message MLP + aggregation in one kernel
             fused_seg = None
+            # bn_mlp routing (measured on chip, zinc shape, r4): the
+            # fused-BN id_sq moments pass beats plain XLA only in bf16
+            # (4.24M vs 3.70M edges/s) and LOSES in f32 (2.78M) — its
+            # exact 3-pass dots on the doubled [H, H^2] width cost more
+            # than the gather/scatter they replace.  Route bn_mlp=True
+            # through the kernel only for bf16 compute (or under EP,
+            # where the plain path would gather d_in-wide rows).
+            bn_fused_ok = (not self.bn_mlp
+                           or self.compute_dtype == "bfloat16"
+                           or self.ep_axis is not None)
             if (seg is not None and seg[3] is not None
                     and self.aggr == "add"
+                    and bn_fused_ok
                     and (not self.bn_mlp or seg[4] == "slab")
                     and (self.ep_axis is None or seg[4] == "slab")
                     and len(self.d_h) <= 1
