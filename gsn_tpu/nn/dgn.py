@@ -400,28 +400,31 @@ class DGNLayerSimple(nn.Module):
             bf16 = self.dtype == jnp.bfloat16
             ddt = "bfloat16" if bf16 else "float32"
             hk = h.astype(jnp.bfloat16 if bf16 else jnp.float32)
-            out = slab_weighted_gather(
-                hk, agg_ctx["W"], data.seg_recv_local,
-                data.seg_send_local, data.seg_chunks, n, padded,
-                block_n, block_e, interp, s_s, ddt)
+            mm_idx = [i for i, a in enumerate(self.aggregators)
+                      if a in ("max", "min")]
+            mm = None
+            if mm_idx:
+                # weighted sums + max/min share one fused launch (the
+                # separate launches re-did the one-hot/gather work)
+                from gsn_tpu.ops.pallas.slab_weighted import \
+                    slab_dgn_fused
+                out, mm = slab_dgn_fused(
+                    hk, agg_ctx["W"], data.seg_recv_local,
+                    data.seg_send_local, data.seg_chunks, n, padded,
+                    block_n, block_e, interp, s_s, ddt)
+            else:
+                out = slab_weighted_gather(
+                    hk, agg_ctx["W"], data.seg_recv_local,
+                    data.seg_send_local, data.seg_chunks, n, padded,
+                    block_n, block_e, interp, s_s, ddt)
             d = h.shape[1]
             for j, i in enumerate(kernel_idx):
                 parts[i] = agg_ctx["posts"][j](
                     out[:n, j * d:(j + 1) * d], h_in)
-            # max + min in one segmented-tree-scan kernel pass
-            mm_idx = [i for i, a in enumerate(self.aggregators)
-                      if a in ("max", "min")]
-            if mm_idx:
-                from gsn_tpu.ops.pallas.slab_minmax import \
-                    slab_segment_minmax
-                mm = slab_segment_minmax(
-                    hk, data.seg_recv_local, data.seg_send_local,
-                    data.seg_chunks, n, padded, block_n, block_e,
-                    interp, s_s, ddt)
-                for i in mm_idx:
-                    parts[i] = (mm[:n, :d]
-                                if self.aggregators[i] == "max"
-                                else -mm[:n, d:])
+            for i in mm_idx:
+                parts[i] = (mm[:n, :d]
+                            if self.aggregators[i] == "max"
+                            else -mm[:n, d:])
         h_src = None
         for i, a in enumerate(self.aggregators):
             if parts[i] is None:

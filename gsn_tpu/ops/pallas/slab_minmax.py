@@ -70,12 +70,11 @@ def _scan_state(recv_ref, send_ref, b_refs, block_n, s_s):
     return recv, oh_r, oh_s, hc, valid, Be
 
 
-def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
-                block_n, s_s):
-    b_refs = refs[:s_s]
-    slab_ref = refs[-1]
-    recv, oh_r, oh_s, hc, valid, Be = _scan_state(
-        recv_ref, send_ref, b_refs, block_n, s_s)
+def minmax_slab_body(recv, oh_r, hc, valid, Be):
+    """[2Bn, 2d] per-chunk minmax slab from the per-edge [h, -h] rows:
+    segmented suffix tree-scan + start-row one-hot scatter.  Shared by
+    the standalone kernel and the fused DGN kernel
+    (slab_weighted.slab_dgn_fused)."""
     # segmented suffix max: row i ends with the max over rows j >= i of
     # its (contiguous, recv-sorted) segment
     hc = jnp.where(valid, hc, NEG)
@@ -92,7 +91,16 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
     oh_sel = oh_r * starts.astype(jnp.float32)
     val = onehot_dot_t(oh_sel, jnp.where(starts, hc, 0.0))
     n_sel = onehot_dot_t(oh_sel, jnp.ones((Be, 1), jnp.float32))
-    slab_ref[...] = jnp.where(n_sel > 0, val, NEG)[None]
+    return jnp.where(n_sel > 0, val, NEG)
+
+
+def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
+                block_n, s_s):
+    b_refs = refs[:s_s]
+    slab_ref = refs[-1]
+    recv, oh_r, oh_s, hc, valid, Be = _scan_state(
+        recv_ref, send_ref, b_refs, block_n, s_s)
+    slab_ref[...] = minmax_slab_body(recv, oh_r, hc, valid, Be)[None]
 
 
 def _tie_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
@@ -107,6 +115,15 @@ def _tie_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
     tie_slab_ref[...] = onehot_dot_t(oh_r, tie)[None]
 
 
+def minmax_dh_body(hc, out_e, cnt_e, g_e, valid):
+    """Per-edge cotangent of the minmax output: even tie-split against
+    the GLOBAL maxima (shared with the fused DGN kernel)."""
+    tie = ((hc == out_e) & valid).astype(jnp.float32)
+    dhc = tie * g_e / jnp.maximum(cnt_e, 1.0)
+    d = hc.shape[1] // 2
+    return dhc[:, :d] - dhc[:, d:]     # hc = [h, -h]
+
+
 def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
                 block_n, s_s):
     b_refs = refs[:s_s]
@@ -119,10 +136,7 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
     out_e = onehot_dot(oh_r, out_span)
     cnt_e = onehot_dot(oh_r, cnt_span)
     g_e = onehot_dot(oh_r, g_span)
-    tie = ((hc == out_e) & valid).astype(jnp.float32)
-    dhc = tie * g_e / jnp.maximum(cnt_e, 1.0)
-    d = hc.shape[1] // 2
-    dh = dhc[:, :d] - dhc[:, d:]       # hc = [h, -h]
+    dh = minmax_dh_body(hc, out_e, cnt_e, g_e, valid)
     db_slab_ref[...] = onehot_dot_t(oh_s, dh)[None]
 
 

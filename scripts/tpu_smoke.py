@@ -167,6 +167,70 @@ def check_slab_weighted():
                                    err_msg=name)
 
 
+def check_slab_dgn_fused():
+    """slab_dgn_fused: weighted sums + segment max/min in one launch,
+    fwd + bwd vs segment oracle."""
+    import jax
+    import jax.numpy as jnp
+    from gsn_tpu.ops.pallas.slab_message import build_slab_metadata
+    from gsn_tpu.ops.pallas.slab_weighted import slab_dgn_fused
+
+    BN, BE, d, K = 128, 256, 70, 5
+    rng = np.random.RandomState(17)
+    recv, send, N = _random_disjoint_graphs(rng)
+    E_real = len(recv)
+    E = -(-E_real // BE) * BE
+    recv_p = np.concatenate([recv, np.zeros(E - E_real, np.int64)])
+    send_p = np.concatenate([send, np.zeros(E - E_real, np.int64)])
+    mask = np.arange(E) < E_real
+    num_nodes = max(-(-N // BN), 4) * BN
+    meta = build_slab_metadata(recv_p, send_p, mask, num_nodes, BN, BE)
+    assert meta is not None
+    B = rng.randn(N, d).astype(np.float32)
+    W = (rng.randn(E, K) * mask[:, None]).astype(np.float32)
+    fb_wf = jnp.asarray(np.stack([meta["fb"], meta["wf"]]))
+    g_w = rng.randn(num_nodes, K * d).astype(np.float32)
+    g_m = rng.randn(num_nodes, 2 * d).astype(np.float32)
+
+    def fused(B, W):
+        w_out, mm = slab_dgn_fused(
+            B, W, jnp.asarray(meta["recv_local"]),
+            jnp.asarray(meta["send_local"]), fb_wf, N, num_nodes,
+            BN, BE, False, meta["s_s"])
+        return jnp.sum(w_out * g_w) + jnp.sum(mm * g_m), (w_out, mm)
+
+    def ref(B, W):
+        h = B[send]
+        w_out = jnp.concatenate(
+            [jax.ops.segment_sum(W[:E_real, k:k + 1] * h,
+                                 jnp.asarray(recv),
+                                 num_segments=num_nodes)
+             for k in range(K)], axis=1)
+        mx = jax.ops.segment_max(h, jnp.asarray(recv),
+                                 num_segments=num_nodes)
+        mn = jax.ops.segment_max(-h, jnp.asarray(recv),
+                                 num_segments=num_nodes)
+        mm = jnp.concatenate(
+            [jnp.where(jnp.isfinite(mx), mx, 0.0),
+             jnp.where(jnp.isfinite(mn), mn, 0.0)], axis=1)
+        return jnp.sum(w_out * g_w) + jnp.sum(mm * g_m), (w_out, mm)
+
+    args = (jnp.asarray(B), jnp.asarray(W))
+    (_, out_f), gf = jax.value_and_grad(fused, argnums=(0, 1),
+                                        has_aux=True)(*args)
+    (_, out_r), gr = jax.value_and_grad(ref, argnums=(0, 1),
+                                        has_aux=True)(*args)
+    for a, b in zip(out_f, out_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+    for name, a, b in zip(["dB", "dW"], gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "dW":
+            a, b = a[:E_real], b[:E_real]
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
+                                   err_msg=name)
+
+
 def check_slab_minmax():
     """slab_segment_minmax (DGN max/min): segmented suffix tree-scan in
     VMEM, fwd + bwd vs segment_max oracle."""
@@ -478,6 +542,7 @@ def main():
     check("slab_message bf16 fwd+bwd", check_slab_message_bf16)
     check("slab_message has_a=False fwd+bwd", check_slab_message_no_a)
     check("slab_weighted fwd+bwd", check_slab_weighted)
+    check("slab_dgn_fused fwd+bwd", check_slab_dgn_fused)
     check("slab_minmax fwd+bwd", check_slab_minmax)
     check("slab_pool fwd+bwd", check_slab_pool)
     check("slab_graph_broadcast fwd+bwd", check_graph_broadcast)

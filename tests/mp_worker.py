@@ -16,7 +16,9 @@ if __name__ == "__main__":
     # before the (lazy) backend init of this worker process — and ONLY
     # when run as a worker: the parent test imports this module too, and
     # overwriting its XLA_FLAGS would shrink the parent's 8-device mesh
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    _n = os.environ.get("MP_WORKER_LOCAL_DEVICES", "2")
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={_n}")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -116,7 +118,8 @@ def main():
     dist.initialize(f"127.0.0.1:{port}", nproc, pid, platform="cpu")
     import jax
     assert jax.process_count() == nproc
-    assert len(jax.local_devices()) == 2
+    expect_local = int(os.environ.get("MP_WORKER_LOCAL_DEVICES", "2"))
+    assert len(jax.local_devices()) == expect_local
 
     graphs, d_id = build_dataset()
     if mode == "dp":

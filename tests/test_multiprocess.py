@@ -35,16 +35,18 @@ def _free_port():
     return port
 
 
-def _spawn(mode, tmp_path):
+def _spawn(mode, tmp_path, n_proc=N_PROC, local_devices=2):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
+    env["MP_WORKER_LOCAL_DEVICES"] = str(local_devices)
     env.pop("JAX_PLATFORMS", None)   # worker forces cpu itself
     port = _free_port()
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(i), str(N_PROC), str(port),
+        [sys.executable, WORKER, str(i), str(n_proc), str(port),
          str(tmp_path), mode],
         env=env, cwd=ROOT, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT) for i in range(N_PROC)]
+        stderr=subprocess.STDOUT) for i in range(n_proc)]
     outs = []
     for p in procs:
         try:
@@ -55,10 +57,10 @@ def _spawn(mode, tmp_path):
             raise
         outs.append(out.decode(errors="replace"))
     rcs = [p.returncode for p in procs]
-    assert rcs == [0] * N_PROC, (
+    assert rcs == [0] * n_proc, (
         f"worker exit codes {rcs}\n" + "\n----\n".join(outs))
     ranks = []
-    for i in range(N_PROC):
+    for i in range(n_proc):
         with open(os.path.join(str(tmp_path), f"rank{i}.json")) as f:
             ranks.append(json.load(f))
     return ranks
@@ -138,3 +140,11 @@ def test_multiprocess_dp_matches_single_process(tmp_path):
 @pytest.mark.slow
 def test_multiprocess_ep_matches_single_process(tmp_path):
     _check(_spawn("ep", tmp_path), _oracle_ep)
+
+
+@pytest.mark.slow
+def test_multiprocess_dp_four_processes(tmp_path):
+    """Same global 4-device mesh, but one device per process across
+    FOUR processes — every mesh row crosses a process boundary."""
+    _check(_spawn("dp", tmp_path, n_proc=4, local_devices=1),
+           _oracle_dp)
