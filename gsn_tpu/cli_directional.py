@@ -188,6 +188,9 @@ def main(args: Dict):
         if _time.time() - t_start > args["max_time"] * 3600:
             print("max_time reached, stopping")
             break
+    if best is None:
+        print("no epochs ran (epochs=0)")
+        return None
     print(f"best-val epoch {best[0]}: val {best[1]:.4f} test {best[2]:.4f}")
     return best
 

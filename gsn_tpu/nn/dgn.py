@@ -126,56 +126,22 @@ def dgn_aggregate(
     raise NotImplementedError(f"aggregator {name!r}")
 
 
-def dgn_weight_and_post(name: str, vf, dst, num_nodes, edge_mask,
-                        inv_deg):
-    """Express an aggregator as (w [E], post(agg_k, h_in) -> [N, d]) for
-    the ONE-PASS weighted slab kernel (ops/pallas/slab_weighted.py):
-    out_k[v] = Σ_e w_e h_src(e), then a cheap local post.  Returns None
-    for aggregators that are not plain weighted sums (max/min/var/std
-    stay on the segment path).  Math identical to ``dgn_aggregate``."""
-    em = edge_mask
-    ident = lambda agg, h_in: agg  # noqa: E731
-    if name == "sum":
-        return em.astype(jnp.float32), ident
-    if name == "mean":
-        return inv_deg[dst] * em, ident
-    if not name.startswith("dir"):
-        return None
+def softmax_weight(name: str, vf, dst, num_nodes, edge_mask):
+    """Per-edge weight of a 'dir{i}-{alpha}' softmax aggregator (needs a
+    scalar segment max, so it stays off the batched node-sum pass).
+    Math identical to ``dgn_aggregate``."""
     parts = name.split("-", 1)
     eig_idx = int(parts[0][3:])
-    kind = parts[1]
-    col = vf[:, eig_idx]
-    if kind == "av":
-        w = _dir_weights(col, dst, num_nodes, em, signed=False)
-        return jnp.where(em, w, 0.0), ident
-    if kind in ("dx", "dx-no-abs", "dx-balanced"):
-        if kind == "dx-balanced":
-            front = nn.relu(col)
-            back = nn.relu(-col)
-            df = masked_segment_sum(jnp.abs(front), dst, num_nodes, em)
-            db = masked_segment_sum(jnp.abs(back), dst, num_nodes, em)
-            u = (front / (df[dst] + EPS) + back / (db[dst] + EPS)) / 2.0
-        else:
-            u = _dir_weights(col, dst, num_nodes, em, signed=True)
-        u = jnp.where(em, u, 0.0)
-        u_sum = masked_segment_sum(u, dst, num_nodes, em)
-
-        def post(agg, h_in, u_sum=u_sum, absa=(kind != "dx-no-abs")):
-            out = agg - u_sum[:agg.shape[0], None] * h_in
-            return jnp.abs(out) if absa else out
-
-        return u, post
-    # softmax: 'dir{i}-0.1' / 'dir{i}-neg-0.1'
-    alpha_str = kind
+    alpha_str = parts[1]
     neg = alpha_str.startswith("neg-")
     alpha = float(alpha_str[4:]) if neg else float(alpha_str)
     if neg:
         alpha = -alpha
-    logits = alpha * jnp.abs(col)
-    seg_max = masked_segment_max(logits, dst, num_nodes, em)
-    ex = jnp.where(em, jnp.exp(logits - seg_max[dst]), 0.0)
-    denom = masked_segment_sum(ex, dst, num_nodes, em)
-    return ex / (denom[dst] + EPS), ident
+    logits = alpha * jnp.abs(vf[:, eig_idx])
+    seg_max = masked_segment_max(logits, dst, num_nodes, edge_mask)
+    ex = jnp.where(edge_mask, jnp.exp(logits - seg_max[dst]), 0.0)
+    denom = masked_segment_sum(ex, dst, num_nodes, edge_mask)
+    return ex / (denom[dst] + EPS)
 
 
 def _node_sums_via_slab(cols, data: GraphBatch, n: int):
@@ -232,7 +198,7 @@ def build_agg_ctx(aggregators, data: GraphBatch, n: int) -> Dict:
         deg = masked_segment_sum(jnp.ones_like(dst, jnp.float32), dst,
                                  n, em)
         return {"vf": vf, "deg": deg, "kernel_idx": [], "W": None,
-                "posts": []}
+                "posts": [], "seg_ok": False}
 
     # ---- phase 1: collect every scalar column that needs a node sum
     cols = [emf]                      # degree
@@ -305,13 +271,13 @@ def build_agg_ctx(aggregators, data: GraphBatch, n: int) -> Dict:
             def post(agg, h_in, u_sum=u_sum):
                 return jnp.abs(agg - u_sum[:agg.shape[0], None] * h_in)
         else:   # softmax: w needs a scalar segment max — segment path
-            w, post = dgn_weight_and_post(a, vf, dst, n, em, inv_deg)
+            w, post = softmax_weight(a, vf, dst, n, em), ident
         kernel_idx.append(i)
         kernel_w.append(w)
         posts.append(post)
     return {"vf": vf, "deg": deg, "kernel_idx": kernel_idx,
             "W": jnp.stack(kernel_w, axis=1) if kernel_idx else None,
-            "posts": posts}
+            "posts": posts, "seg_ok": True}
 
 
 def dgn_scale(name: str, h: jnp.ndarray, deg: jnp.ndarray,
@@ -388,9 +354,12 @@ class DGNLayerSimple(nn.Module):
         h_in = h
         parts = [None] * len(self.aggregators)
         kernel_idx = agg_ctx["kernel_idx"]
-        if kernel_idx:
+        mm_idx = ([i for i, a in enumerate(self.aggregators)
+                   if a in ("max", "min")]
+                  if agg_ctx["seg_ok"] else [])
+        if kernel_idx or mm_idx:
             from gsn_tpu.ops.pallas.slab_weighted import (
-                S_S, slab_weighted_gather)
+                S_S, slab_dgn_fused, slab_weighted_gather)
             block_n = data.seg_block_n
             block_e = (data.seg_recv_local.shape[0]
                        // data.seg_chunks.shape[1])
@@ -400,24 +369,22 @@ class DGNLayerSimple(nn.Module):
             bf16 = self.dtype == jnp.bfloat16
             ddt = "bfloat16" if bf16 else "float32"
             hk = h.astype(jnp.bfloat16 if bf16 else jnp.float32)
-            mm_idx = [i for i, a in enumerate(self.aggregators)
-                      if a in ("max", "min")]
-            mm = None
-            if mm_idx:
+            d = h.shape[1]
+            meta = (data.seg_recv_local, data.seg_send_local,
+                    data.seg_chunks, n, padded, block_n, block_e)
+            mm = out = None
+            if kernel_idx and mm_idx:
                 # weighted sums + max/min share one fused launch (the
                 # separate launches re-did the one-hot/gather work)
-                from gsn_tpu.ops.pallas.slab_weighted import \
-                    slab_dgn_fused
-                out, mm = slab_dgn_fused(
-                    hk, agg_ctx["W"], data.seg_recv_local,
-                    data.seg_send_local, data.seg_chunks, n, padded,
-                    block_n, block_e, interp, s_s, ddt)
+                out, mm = slab_dgn_fused(hk, agg_ctx["W"], *meta,
+                                         interp, s_s, ddt)
+            elif kernel_idx:
+                out = slab_weighted_gather(hk, agg_ctx["W"], *meta,
+                                           interp, s_s, ddt)
             else:
-                out = slab_weighted_gather(
-                    hk, agg_ctx["W"], data.seg_recv_local,
-                    data.seg_send_local, data.seg_chunks, n, padded,
-                    block_n, block_e, interp, s_s, ddt)
-            d = h.shape[1]
+                from gsn_tpu.ops.pallas.slab_minmax import \
+                    slab_segment_minmax
+                mm = slab_segment_minmax(hk, *meta, interp, s_s, ddt)
             for j, i in enumerate(kernel_idx):
                 parts[i] = agg_ctx["posts"][j](
                     out[:n, j * d:(j + 1) * d], h_in)
@@ -429,7 +396,10 @@ class DGNLayerSimple(nn.Module):
         for i, a in enumerate(self.aggregators):
             if parts[i] is None:
                 if h_src is None:
-                    h_src = h[src]
+                    # f32 gather: the XLA fallback's segment sums (and
+                    # especially var/std's E[h^2]-E[h]^2 cancellation)
+                    # must not accumulate in bf16
+                    h_src = h.astype(jnp.float32)[src]
                 parts[i] = dgn_aggregate(a, h_src, vf, h_in, dst, n, em)
         agg = jnp.concatenate(parts, axis=1)
         if len(self.scalers) > 1:

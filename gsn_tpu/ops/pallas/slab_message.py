@@ -119,11 +119,22 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
         prev_fb = f
         chunk_rows.append((t, s, m))
     if s_s is None:
+        # QUANTIZED adaptation: s_s is a static jit/treedef property of
+        # the batch, so a per-batch exact span (2 vs 3 depending on
+        # where graphs straddle block boundaries) would fragment the
+        # one-compiled-shape guarantee of caps_mode='worst' and the
+        # scanned-epoch runs (every fresh shape pays a remote compile).
+        # Snap to a small ladder instead: molecular datasets land on 3
+        # uniformly; multi-block graphs get the next rung.
+        for rung in (3, 4, 6, MAX_WINDOW):
+            if rung >= span_needed:
+                s_s = rung
+                break
+        else:
+            s_s = MAX_WINDOW
         # a window as wide as the whole (padded) sender space always
         # fits trivially, so clamping to send_blocks can only help
-        s_s = min(max(span_needed, 2), send_blocks)
-        if span_needed > s_s and span_needed > send_blocks:
-            return None           # cannot happen: spans <= send space
+        s_s = min(s_s, send_blocks)
     if s_s > MAX_WINDOW or s_s > send_blocks:
         return None
     wf = np.zeros(C, np.int32)
