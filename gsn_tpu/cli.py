@@ -159,6 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
            "single-pass bf16 one-hot kernels, f32 master params/BN/"
            "Adam); measured 2.5x+ train throughput with --use_mxu True "
            "(PERFORMANCE.md)")
+    a("--dropout_rng", type=str, default="threefry",
+      choices=["threefry", "rbg"],
+      help="'rbg' = hardware bit generator for node-level dropout "
+           "masks (measured +16%% molhiv step throughput; same "
+           "iid-bernoulli semantics, different stream)")
     a("--caps_mode", type=str, default="worst",
       choices=["worst", "tight"],
       help="batch padding caps: 'worst' compiles ONE shape for the whole "
@@ -221,6 +226,7 @@ def _model_config(args: Dict, num_classes, in_features, in_edge_features,
         bn_mlp=args["bn_mlp"],
         compute_dtype=(None if args.get("compute_dtype") in (None, "None")
                        else args["compute_dtype"]),
+        dropout_rng=args.get("dropout_rng", "threefry"),
         activation_mlp=args["activation_mlp"],
         activation=args["activation"],
         final_projection=args["final_projection"],
