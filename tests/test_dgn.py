@@ -257,3 +257,46 @@ def test_dgn_slab_edge_eig_sorted_with_layout():
             [np.asarray(b.edge_index).T[em],
              np.asarray(b.edge_eig)[em]], axis=1).tolist()))
     assert trips(plain) == trips(slab)
+
+
+def test_dgn_bf16_close_to_f32_on_slab_path():
+    """compute_dtype='bfloat16' (the bench-winning DGN variant) must
+    stay bf16-close to f32 on the kernel path: loss near-equal and
+    gradient direction aligned."""
+    import jax.numpy as jnp
+
+    graphs = _mol_like_graphs(num=48, seed=7)
+    graphs = assemble_directions(graphs, directions=("eig", "subgraphs"),
+                                 id_scope="local")
+    avg_d = compute_avg_d(graphs)
+    caps = (768, 2048, 48)
+    slab = next(iterate_batches(graphs, 48, caps=caps, y_shape=(),
+                                y_dtype=np.float32, mxu_layout=SLAB))
+    assert slab.seg_mode == "slab"
+
+    losses, grads = {}, {}
+    for dt in (None, "bfloat16"):
+        cfg = DGNConfig(hidden_dim=32, out_dim=32, num_layers=2,
+                        aggregators=("mean", "max", "min", "dir1-av",
+                                     "dir1-dx"),
+                        avg_d=avg_d, dropout=0.0, compute_dtype=dt)
+        model = DGNNet(cfg)
+        variables = model.init(jax.random.PRNGKey(0), slab, train=False)
+
+        def loss(params):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                slab, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return ((out ** 2) * slab.graph_mask[:, None]).sum()
+
+        losses[dt] = float(loss(variables["params"]))
+        g = jax.grad(loss)(variables["params"])
+        grads[dt] = np.concatenate(
+            [np.asarray(x, np.float32).ravel()
+             for x in jax.tree_util.tree_leaves(g)])
+    assert losses["bfloat16"] == pytest.approx(losses[None], rel=3e-2)
+    a, b = grads[None], grads["bfloat16"]
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+    assert cos > 0.99, cos
