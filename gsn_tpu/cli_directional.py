@@ -28,6 +28,8 @@ def build_parser():
     p = argparse.ArgumentParser("gsn_tpu.directional")
     a = p.add_argument
     a("--config", type=str, default=None, help="JSON config file")
+    a("--expid", type=str, default="", help="experiment id (tag only)")
+    a("--print_epoch_interval", type=int, default=5)
     a("--dataset", type=str, default="ogbg-molhiv")
     a("--data_root", type=str, default="./datasets/ogb")
     a("--cache_folder", type=str, default=None)
@@ -80,20 +82,46 @@ def build_parser():
     return p
 
 
-def load_config(args: Dict) -> Dict:
-    """JSON config file + CLI overrides (reference main_HIV.py:249-357:
-    CLI flags win when explicitly given)."""
+def load_config(args: Dict, explicit=None) -> Dict:
+    """JSON config file + CLI overrides (reference main_HIV.py:249-357).
+
+    The config file is the *primary* input: its ``params``/``net_params``
+    values replace the parser defaults.  CLI flags win only when the user
+    explicitly gave them — ``explicit`` is that set of arg names (the
+    reference gets the same effect by parsing every flag with a None
+    default and copying non-None values over the config).  Programmatic
+    callers that pass a plain dict (e.g. the 10-seed scripts) are treated
+    as all-explicit unless they supply ``explicit`` themselves.
+    """
     if args.get("config") and os.path.exists(args["config"]):
         with open(args["config"]) as f:
             cfg = json.load(f)
         for k, v in {**cfg.get("params", {}),
                      **cfg.get("net_params", {})}.items():
-            if k in args and args[k] is None:
-                args[k] = v
+            if k not in args:
+                continue
+            if (explicit is None and args[k] is not None) or \
+                    (explicit is not None and k in explicit):
+                continue  # CLI override wins
+            args[k] = v
     return args
 
 
-def main(args: Dict):
+def _explicit_flags(parser: argparse.ArgumentParser, argv=None):
+    """Names of flags the user actually typed, via a SUPPRESS-default
+    shadow parser (so parser defaults never appear in the namespace)."""
+    shadow = argparse.ArgumentParser(add_help=False)
+    for act in parser._actions:
+        if act.dest == "help":
+            continue
+        shadow.add_argument(*act.option_strings, dest=act.dest,
+                            type=act.type, nargs=act.nargs,
+                            default=argparse.SUPPRESS)
+    ns, _ = shadow.parse_known_args(argv)
+    return set(vars(ns).keys())
+
+
+def main(args: Dict, explicit=None):
     import jax
     if args.get("device") == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -104,7 +132,7 @@ def main(args: Dict):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
-    args = load_config(args)
+    args = load_config(args, explicit)
     np.random.seed(args["seed"])
 
     path = os.path.join(args["data_root"], args["dataset"])
@@ -179,9 +207,11 @@ def main(args: Dict):
         trainer.scheduler.step(-val_roc)
         if val_roc > best_val:
             best_val, best = val_roc, (epoch, val_roc, test_roc)
-        print(f"epoch {epoch:03d} loss {train_loss:.4f} "
-              f"val ROC {val_roc:.4f} test ROC {test_roc:.4f} "
-              f"lr {trainer.scheduler.lr:.6f}")
+        interval = max(1, int(args.get("print_epoch_interval") or 1))
+        if epoch % interval == 0 or epoch == args["epochs"] - 1:
+            print(f"epoch {epoch:03d} loss {train_loss:.4f} "
+                  f"val ROC {val_roc:.4f} test ROC {test_roc:.4f} "
+                  f"lr {trainer.scheduler.lr:.6f}")
         if trainer.scheduler.lr < args["min_lr"]:
             print("lr below min_lr, stopping")
             break
@@ -196,7 +226,8 @@ def main(args: Dict):
 
 
 def cli():
-    main(vars(build_parser().parse_args()))
+    parser = build_parser()
+    main(vars(parser.parse_args()), explicit=_explicit_flags(parser))
 
 
 if __name__ == "__main__":

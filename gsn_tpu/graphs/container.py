@@ -340,7 +340,12 @@ def _apply_slab_layout(edge_index, edge_mask, edge_features, edge_ids,
     # (edge arrays are padded to the ORIGINAL block_e multiple, which
     # every smaller power-of-two divides)
     meta = None
-    for be in [b for b in (block_e, 128, 64) if b <= block_e]:
+    # dedup'd ladder; retries must divide the padded edge count (edges
+    # were padded to the ORIGINAL block_e multiple above)
+    ladder = dict.fromkeys(
+        b for b in (block_e, 128, 64)
+        if b <= block_e and (block_e * max(E // block_e, 1)) % b == 0)
+    for be in ladder:
         meta = build_slab_metadata(
             edge_index[select], edge_index[1 - select], edge_mask,
             padded_nodes, block_n, be)

@@ -47,7 +47,8 @@ S_R = 2   # receiver span (node blocks per slab)
 S_S = 4   # default/floor sender window (node blocks); callers pad the
 #           shared node space to >= S_S blocks, and the ADAPTIVE window
 #           (build_slab_metadata's per-batch s_s) is what the kernel
-#           actually reads — typically 2-3 on molecular batches, up to
+#           actually reads — the quantization ladder floors at 3 (see
+#           below), so molecular batches land on 3 uniformly, up to
 #           MAX_WINDOW when a graph spans multiple node blocks
 MAX_WINDOW = 8   # VMEM guard: widest per-chunk B window the kernel loads
 
@@ -68,11 +69,12 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
     one shared space (single-device layout).
 
     ``s_s``: sender-window width in blocks.  None (default) ADAPTS it to
-    this batch: the max over chunks of the sender block span, clamped to
-    [2, min(MAX_WINDOW, send_blocks)] — molecular batches need 2-3
-    (vs the old fixed 4: less VMEM traffic, a smaller oh_s dot and dB
-    slab per chunk), while graphs wider than block_n nodes get a wider
-    window instead of falling off the kernel path entirely (the r3 cap).
+    this batch: the max over chunks of the sender block span, snapped to
+    the quantization ladder (3, 4, 6, MAX_WINDOW) and clamped to
+    send_blocks — molecular batches land on 3 (vs the old fixed 4: less
+    VMEM traffic, a smaller oh_s dot and dB slab per chunk), while
+    graphs wider than block_n nodes get a wider window instead of
+    falling off the kernel path entirely (the r3 cap).
     Pass an explicit value to force uniformity across shards (EP builds
     one program for all shards).
 
@@ -94,7 +96,7 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
     C = E // block_e
     fb = np.zeros(C, np.int32)
     recv_local = np.full(E, -1, np.int32)
-    chunk_rows = []        # (t, r, s, m) for the second pass
+    chunk_rows = []        # (t, s, m) for the second pass
     span_needed = 1
     prev_fb = 0
     for t in range(C):

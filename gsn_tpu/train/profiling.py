@@ -16,6 +16,8 @@ from typing import Callable, Dict, Optional
 
 import jax
 
+from ..timing import device_sync, fetch_rtt
+
 # TPU v5e (lite) per-chip peaks (public figures)
 V5E_PEAK_BF16_TFLOPS = 197.0
 V5E_PEAK_F32_TFLOPS = 49.0
@@ -32,13 +34,19 @@ def trace(logdir: str):
 
 
 def time_fn(fn: Callable, *args, iters: int = 20) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Mean wall time of ``fn`` ending in a device->host VALUE fetch.
+
+    ``jax.block_until_ready`` is NOT a barrier on the axon remote-TPU
+    tunnel (see gsn_tpu.timing) — the loop must retire the dispatch
+    queue with :func:`device_sync` and subtract the fetch round-trip.
+    """
+    out = fn(*args)  # warmup/compile
+    rtt = fetch_rtt(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    device_sync(out)
+    return max((time.perf_counter() - t0 - rtt) / iters, 0.0)
 
 
 def flops_of(fn: Callable, *args) -> Optional[float]:

@@ -16,11 +16,13 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from gsn_tpu.cli_directional import build_parser, main  # noqa: E402
 
@@ -59,6 +61,10 @@ def run(argv=None):
         args = vars(build_parser().parse_args(flags + ["--seed",
                                                        str(seed)]))
         best = main(args)           # (epoch, val_roc, test_roc)
+        if best is None:
+            raise SystemExit(
+                f"seed {seed}: no epochs ran (epochs=0 or max_time hit "
+                "before epoch 1) — cannot report a best-val ROC")
         rocs.append(best[2])
         print(f"[10runs] seed {seed}: test ROC {best[2]:.4f}",
               flush=True)

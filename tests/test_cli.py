@@ -99,6 +99,36 @@ def test_all_reference_readme_commands_parse():
         assert "mode" in args
 
 
+def test_dgn_config_file_merge(tmp_path):
+    """Reference main_HIV.py:249-357 semantics: the JSON config file is
+    the primary input (overrides parser defaults); explicitly-given CLI
+    flags win over the config."""
+    import json
+
+    from gsn_tpu.cli_directional import (_explicit_flags, build_parser
+                                         as dgn_parser, load_config)
+
+    cfg = {"params": {"epochs": 7, "init_lr": 0.123},
+           "net_params": {"aggregators": "mean max", "hidden_dim": 33}}
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+
+    parser = dgn_parser()
+    argv = ["--config", str(path), "--hidden_dim", "44"]
+    args = load_config(vars(parser.parse_args(argv)),
+                       _explicit_flags(parser, argv))
+    assert args["epochs"] == 7            # config beats parser default
+    assert args["init_lr"] == 0.123
+    assert args["aggregators"] == "mean max"
+    assert args["hidden_dim"] == 44       # explicit CLI beats config
+
+    # programmatic dict callers (10-seed scripts) stay all-explicit
+    prog = load_config({"config": str(path), "epochs": 200,
+                        "hidden_dim": None})
+    assert prog["epochs"] == 200
+    assert prog["hidden_dim"] == 33
+
+
 def test_new_parser_types():
     from gsn_tpu.parsing import str2list2float, str2ListOfLists2int
 
