@@ -172,6 +172,18 @@ def build_parser() -> argparse.ArgumentParser:
     a("--device", type=str, default="default",
       help="default | cpu (force CPU; the axon sitecustomize pins "
            "JAX_PLATFORMS=axon, so env vars alone don't stick)")
+    # distributed execution over a device mesh (gsn_tpu.parallel.trainer):
+    # the full training engine (scheduler/eval/checkpoint/folds/scanned
+    # epochs) runs under shard_map; numerics match the single-device
+    # trainer (tests/test_parallel_trainer.py)
+    a("--parallel", type=str, default="none",
+      choices=["none", "dp", "ep"],
+      help="'dp' shards each batch's graphs across devices (cross-"
+           "replica BN + global loss); 'ep' edge-partitions each batch "
+           "across devices (node blocks local, senders exchanged per "
+           "layer)")
+    a("--parallel_devices", type=int, default=None,
+      help="mesh size (default: all visible devices)")
     # multi-process / multi-host execution (gsn_tpu.parallel.distributed):
     # every participating process runs the same command with its own
     # --process_id; rank 0 owns checkpoint/log side effects.  See the
@@ -251,7 +263,9 @@ def main(args: Dict):
     import jax
     if args.get("device") == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    if args.get("coordinator_address") or args.get("process_id") is not None:
+    multiproc = bool(args.get("coordinator_address")
+                     or args.get("process_id") is not None)
+    if multiproc:
         # join the jax.distributed cluster BEFORE any device use; all
         # jit computations then run as one SPMD program across every
         # process's devices (gsn_tpu/parallel/distributed.py)
@@ -358,7 +372,27 @@ def main(args: Dict):
             train, test = separate_data(graphs, args["split_seed"], fold)
             val = None
 
-        trainer = Trainer(cfg, tcfg, train)
+        par = args.get("parallel", "none") or "none"
+        if multiproc and par == "none":
+            # a jax.distributed cluster without a parallel mode would
+            # train N redundant copies; data parallelism is the natural
+            # default (each process feeds its own devices' shards)
+            print("[gsn_tpu] multi-process run: defaulting "
+                  "--parallel to 'dp'")
+            par = "dp"
+        if par != "none":
+            from .parallel.mesh import make_mesh
+            from .parallel.trainer import ParallelTrainer
+            if multiproc:
+                from .parallel.distributed import global_mesh
+                mesh = global_mesh(par)
+            else:
+                mesh = make_mesh(args.get("parallel_devices"),
+                                 axis_names=(par,))
+            trainer = ParallelTrainer(cfg, tcfg, train, mesh=mesh,
+                                      mode=par, distributed=multiproc)
+        else:
+            trainer = Trainer(cfg, tcfg, train)
         example = next(iterate_batches(train, tcfg.batch_size))
         state = trainer.init_state(example, seed=args["seed"])
 
@@ -368,8 +402,7 @@ def main(args: Dict):
             "checkpoints")
         ckpt = os.path.join(ckpt_dir, args["checkpoint_file"] + ".pkl")
         ckpt_write = ckpt
-        if args.get("coordinator_address") \
-                or args.get("process_id") is not None:
+        if multiproc:
             # rank-0-only WRITE side effects under multi-process
             # execution (every rank still reads checkpoints)
             from .parallel.distributed import is_coordinator
@@ -387,24 +420,29 @@ def main(args: Dict):
             state, _ = load_checkpoint(ckpt, state, trainer.scheduler)
 
         # per-fold run logger (reference wandb realtime logging at
-        # train_test_funcs.py:150-159; JSONL fallback without wandb)
-        logger = RunLogger(
-            run_dir=os.path.dirname(ckpt_dir),
-            use_wandb=args.get("wandb", False),
-            realtime=args.get("wandb_realtime", False),
-            project=args.get("wandb_project", "gsn_project"),
-            entity=args.get("wandb_entity", None),
-            config=args)
+        # train_test_funcs.py:150-159; JSONL fallback without wandb);
+        # rank-0-only under multi-process execution (ckpt_write doubles
+        # as the rank-0 marker)
+        logger = None
+        if not multiproc or ckpt_write is not None:
+            logger = RunLogger(
+                run_dir=os.path.dirname(ckpt_dir),
+                use_wandb=args.get("wandb", False),
+                realtime=args.get("wandb_realtime", False),
+                project=args.get("wandb_project", "gsn_project"),
+                entity=args.get("wandb_entity", None),
+                config=args)
         state, hist = trainer.fit(state, train, test, graphs_val=val,
                                   checkpoint_file=ckpt_write,
                                   logger=logger)
-        if hist["test_accs"]:
+        if hist["test_accs"] and logger is not None:
             fold_perf = perf_opt(hist["test_accs"])
             logger.set_summary(
                 last_test_acc=hist["test_accs"][-1],
                 best_test_acc=hist["test_accs"][int(fold_perf)],
                 best_epoch=int(fold_perf) * args["eval_frequency"])
-        logger.close()
+        if logger is not None:
+            logger.close()
         results.append(hist)
 
     if args["mode"] == "test":

@@ -79,6 +79,12 @@ def build_parser():
            "readout head)")
     a("--dropout_rng", type=str, default="threefry",
       choices=["threefry", "rbg"])
+    # multi-device execution (gsn_tpu.parallel.trainer): the directional
+    # model under data-parallel shard_map (cross-replica BN, global
+    # loss); grad-exact vs single device (tests/test_dgn_parallel.py)
+    a("--parallel", type=str, default="none", choices=["none", "dp"])
+    a("--parallel_devices", type=int, default=None,
+      help="mesh size (default: all visible devices)")
     return p
 
 
@@ -165,7 +171,9 @@ def main(args: Dict, explicit=None):
         os.path.join(split_dir, "val_idx-1.txt"), dtype=int))
 
     avg_d = compute_avg_d(train)
+    par = args.get("parallel", "none") or "none"
     cfg = DGNConfig(
+        bn_axis_name=("dp" if par == "dp" else None),
         hidden_dim=args["hidden_dim"], out_dim=args["out_dim"],
         num_layers=args["L"], aggregators=tuple(args["aggregators"].split()),
         scalers=tuple(args["scalers"].split()), avg_d=avg_d,
@@ -190,7 +198,15 @@ def main(args: Dict, explicit=None):
         evaluator="rocauc", seed=args["seed"], caps_mode="worst",
         use_mxu_segment_sum=bool(args.get("use_mxu", True)))
 
-    trainer = Trainer(cfg, tcfg, train, model=model)
+    if par == "dp":
+        from .parallel.mesh import make_mesh
+        from .parallel.trainer import ParallelTrainer
+        mesh = make_mesh(args.get("parallel_devices"),
+                         axis_names=("dp",))
+        trainer = ParallelTrainer(cfg, tcfg, train, mesh=mesh, mode="dp",
+                                  model=model)
+    else:
+        trainer = Trainer(cfg, tcfg, train, model=model)
     example = next(iterate_batches(train, tcfg.batch_size,
                                    y_shape=trainer.y_shape,
                                    y_dtype=trainer.y_dtype))

@@ -298,7 +298,8 @@ def batch_graphs(
 
 def _apply_slab_layout(edge_index, edge_mask, edge_features, edge_ids,
                        node_cap, flow="source_to_target",
-                       block_n=128, block_e=256, edge_eig=None):
+                       block_n=128, block_e=256, edge_eig=None,
+                       s_s=None):
     """Slab-mode metadata (ops/pallas/slab_message.py): edges stay dense,
     just recv-sorted; per-chunk fb/wf + local indices.  Returns all-None
     metadata when spans are violated (callers fall back)."""
@@ -348,7 +349,7 @@ def _apply_slab_layout(edge_index, edge_mask, edge_features, edge_ids,
     for be in ladder:
         meta = build_slab_metadata(
             edge_index[select], edge_index[1 - select], edge_mask,
-            padded_nodes, block_n, be)
+            padded_nodes, block_n, be, s_s=s_s)
         if meta is not None:
             break
     if meta is None:

@@ -333,6 +333,8 @@ class DGNLayerSimple(nn.Module):
     posttrans_layers: int = 1
     dtype: Optional[jnp.dtype] = None   # compute dtype (bf16 matmuls)
     dropout_rng: str = "threefry"
+    bn_axis_name: Optional[str] = None  # cross-replica BN stats under
+    #                                     data-parallel shard_map
 
     @nn.compact
     def __call__(self, h, data: GraphBatch, snorm_n=None, train=False,
@@ -412,9 +414,11 @@ class DGNLayerSimple(nn.Module):
         if self.graph_norm:
             h = h * (snorm_n.astype(h.dtype) if self.dtype else snorm_n)
         if self.batch_norm:
-            # f32 statistics, output in h's dtype (ops/norm.py)
-            h = MaskedBatchNorm(name="bn")(h, nm,
-                                           use_running_average=not train)
+            # f32 statistics, output in h's dtype (ops/norm.py);
+            # axis_name psums the masked moments across data-parallel
+            # replicas so DP numerics match single-device whole-batch BN
+            h = MaskedBatchNorm(name="bn", axis_name=self.bn_axis_name)(
+                h, nm, use_running_average=not train)
         h = nn.relu(h)
         if self.residual and h_in.shape[-1] == self.out_dim:
             h = h_in.astype(h.dtype) + h
@@ -450,6 +454,8 @@ class DGNConfig:
     #                                       bf16 activations (f32 BN
     #                                       stats / loss / readout head)
     dropout_rng: str = "threefry"         # 'rbg': hardware bit generator
+    bn_axis_name: Optional[str] = None    # set under data-parallel
+    #                                       shard_map (parallel/trainer.py)
 
 
 class DGNNet(nn.Module):
@@ -495,6 +501,7 @@ class DGNNet(nn.Module):
                 graph_norm=c.graph_norm, batch_norm=c.batch_norm,
                 residual=c.residual, posttrans_layers=c.posttrans_layers,
                 dtype=cdt, dropout_rng=c.dropout_rng,
+                bn_axis_name=c.bn_axis_name,
                 name=f"layer_{i}")(h, data, snorm, train,
                                    agg_ctx=agg_ctx)
 

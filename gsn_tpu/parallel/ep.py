@@ -73,7 +73,8 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
                   flow: str = "source_to_target",
                   axis: str = "ep",
                   ids_on_edges: bool | None = None,
-                  mxu_layout: Optional[Dict] = None) -> GraphBatch:
+                  mxu_layout: Optional[Dict] = None,
+                  e_cap: Optional[int] = None) -> GraphBatch:
     """Re-shape one padded GraphBatch into per-device edge-partitioned
     shards stacked on a leading device axis.
 
@@ -104,8 +105,11 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
             and mxu_layout.get("mode", "slab") == "slab")
     block_e = mxu_layout.get("block_e", 256) if slab else 128
     sel = [(recv_g // block == d) & em for d in range(D)]
-    e_cap = max(int(s.sum()) for s in sel)
-    e_cap = max(-(-e_cap // block_e) * block_e, block_e)
+    need = max(int(s.sum()) for s in sel)
+    # optional caller-provided floor (`e_cap`): a high-water mark reused
+    # across batches bounds the number of compiled per-shard shapes —
+    # otherwise every shuffle's receiver skew mints a fresh XLA program
+    e_cap = max(-(-need // block_e) * block_e, block_e, e_cap or 0)
 
     def node_part(arr):
         if arr is None:

@@ -124,6 +124,12 @@ class Trainer:
         return self.model.apply(variables, data, train=False,
                                 rngs=rngs), batch_stats
 
+    def _step_loss(self, y_hat, data: GraphBatch):
+        """Batch loss.  Overridden by the parallel trainer to express the
+        cross-device *global* loss (psum'd inside the differentiated fn,
+        see parallel/trainer.py)."""
+        return self.loss_fn(y_hat, data.y, data.graph_mask)
+
     def _train_step(self, state: TrainState, data: GraphBatch, lr,
                     rng_key):
         rngs = {"dropout": rng_key,
@@ -132,7 +138,7 @@ class Trainer:
         def loss_wrapped(params):
             y_hat, new_stats = self._apply(params, state.batch_stats, data,
                                            True, rngs)
-            loss = self.loss_fn(y_hat, data.y, data.graph_mask)
+            loss = self._step_loss(y_hat, data)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -151,14 +157,27 @@ class Trainer:
         hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return opt_state._replace(hyperparams=hp)
 
-    def _eval_step(self, state: TrainState, data: GraphBatch):
-        y_hat, _ = self._apply(state.params, state.batch_stats, data,
-                               False, None)
-        loss = self.loss_fn(y_hat, data.y, data.graph_mask)
+    def _eval_counts(self, y_hat, data: GraphBatch):
+        """(num_graphs, metric_sum) of this batch — global totals under
+        the parallel trainer (psum'd across devices)."""
         num = jnp.sum(data.graph_mask)
         acc_sum = (self.pred_fn(y_hat, data.y, data.graph_mask)
                    if self.pred_fn is not None else jnp.asarray(0.0))
-        return y_hat, loss, num, acc_sum
+        return num, acc_sum
+
+    def _eval_pack(self, y_hat, data: GraphBatch):
+        """(y_hat, y, graph_mask) shipped to the host for evaluator-style
+        metrics (ROC-AUC on concatenated predictions).  The parallel
+        trainer overrides this to all-gather the per-device rows so every
+        process can compute the metric without touching remote shards."""
+        return y_hat, data.y, data.graph_mask
+
+    def _eval_step(self, state: TrainState, data: GraphBatch):
+        y_hat, _ = self._apply(state.params, state.batch_stats, data,
+                               False, None)
+        loss = self._step_loss(y_hat, data)
+        num, acc_sum = self._eval_counts(y_hat, data)
+        return self._eval_pack(y_hat, data), loss, num, acc_sum
 
     # ---- scanned (one-dispatch) epoch variants ------------------------
     def _train_scan(self, state: TrainState, stacked: GraphBatch, idxs,
@@ -212,13 +231,16 @@ class Trainer:
             i = j
 
     # ------------------------------------------------------------------
+    def _train_batches(self, graphs: List[Dict]) -> List[GraphBatch]:
+        """One epoch's (shuffled) train batches.  The parallel trainer
+        overrides this to emit device-axis-stacked shards."""
+        return list(iterate_batches(
+            graphs, self.tcfg.batch_size, shuffle=self.tcfg.shuffle,
+            rng=self.rng, caps=self.caps, y_shape=self.y_shape,
+            y_dtype=self.y_dtype, mxu_layout=self.mxu_layout))
+
     def train_epoch(self, state: TrainState, graphs: List[Dict]):
-        it = iterate_batches(graphs, self.tcfg.batch_size,
-                             shuffle=self.tcfg.shuffle, rng=self.rng,
-                             caps=self.caps, y_shape=self.y_shape,
-                             y_dtype=self.y_dtype,
-                             mxu_layout=self.mxu_layout)
-        batches = list(it)
+        batches = self._train_batches(graphs)
         n_iters = self.tcfg.num_iters or len(batches)
         seq, keys = [], []
         k = 0
@@ -270,22 +292,7 @@ class Trainer:
         # eviction race (a new list reusing an evicted entry's id)
         if plan is not None and plan[0] is graphs:
             return plan[1], plan[2]
-        batches = []
-        # worst-mode caps come from the TRAIN split; a skewed eval split
-        # can exceed them, so take the elementwise max with this split's
-        # own tight caps (one extra compile per split, cached)
-        caps = self.caps
-        if caps is not None:
-            tight = tight_epoch_caps(np.arange(len(graphs)), graphs,
-                                     self.tcfg.batch_size)
-            caps = tuple(max(a, b) for a, b in zip(caps, tight))
-        for it_idx, data in enumerate(iterate_batches(
-                graphs, self.tcfg.batch_size, shuffle=False,
-                caps=caps, y_shape=self.y_shape,
-                y_dtype=self.y_dtype, mxu_layout=self.mxu_layout)):
-            if n_iters is not None and it_idx >= n_iters:
-                break
-            batches.append(data)
+        batches = self._eval_batches(graphs, n_iters)
         runs = []
         if self.tcfg.scan_epochs:
             sigs = [self._batch_sig(b) for b in batches]
@@ -298,6 +305,28 @@ class Trainer:
         self._eval_plans[key] = (graphs, batches, runs)
         return batches, runs
 
+    def _eval_batches(self, graphs: List[Dict],
+                      n_iters: Optional[int]) -> List[GraphBatch]:
+        """Deterministic eval batches for one split (overridden by the
+        parallel trainer)."""
+        # worst-mode caps come from the TRAIN split; a skewed eval split
+        # can exceed them, so take the elementwise max with this split's
+        # own tight caps (one extra compile per split, cached)
+        caps = self.caps
+        if caps is not None:
+            tight = tight_epoch_caps(np.arange(len(graphs)), graphs,
+                                     self.tcfg.batch_size)
+            caps = tuple(max(a, b) for a, b in zip(caps, tight))
+        batches = []
+        for it_idx, data in enumerate(iterate_batches(
+                graphs, self.tcfg.batch_size, shuffle=False,
+                caps=caps, y_shape=self.y_shape,
+                y_dtype=self.y_dtype, mxu_layout=self.mxu_layout)):
+            if n_iters is not None and it_idx >= n_iters:
+                break
+            batches.append(data)
+        return batches
+
     def evaluate(self, state: TrainState, graphs: List[Dict],
                  n_iters: Optional[int] = None):
         """Returns (avg_loss, avg_metric).  avg_loss weights each batch
@@ -306,35 +335,35 @@ class Trainer:
         (ROC-AUC) on concatenated predictions."""
         batches, runs = self._eval_plan(graphs, n_iters)
 
-        per_batch = []   # (data, y_hat, loss, num, acc_sum)
+        per_batch = []   # (pack, loss, num, acc_sum)
         if self.tcfg.scan_epochs:
             for i, j, stacked in runs:
                 if j - i == 1:
-                    out = self._jit_eval_step(state, batches[i])
-                    per_batch.append((batches[i],) + tuple(out))
+                    per_batch.append(tuple(
+                        self._jit_eval_step(state, batches[i])))
                 else:
-                    y_hat, loss, num, acc = jax.device_get(
+                    pack, loss, num, acc = jax.device_get(
                         self._jit_eval_scan(state, stacked))
-                    for t, b in enumerate(batches[i:j]):
+                    for t in range(j - i):
                         per_batch.append(
-                            (b, y_hat[t], loss[t], num[t], acc[t]))
+                            (jax.tree_util.tree_map(lambda a: a[t], pack),
+                             loss[t], num[t], acc[t]))
         else:
             for data in batches:
-                out = self._jit_eval_step(state, data)
-                per_batch.append((data,) + tuple(out))
+                per_batch.append(tuple(self._jit_eval_step(state, data)))
 
         total_loss = total_acc = 0.0
         total_n = 0
         y_true_all, y_pred_all = [], []
-        for data, y_hat, loss, num, acc_sum in per_batch:
+        for pack, loss, num, acc_sum in per_batch:
             n = int(num)
             total_loss += float(loss) * n
             total_acc += float(acc_sum)
             total_n += n
             if self.tcfg.evaluator is not None:
-                mask = np.asarray(data.graph_mask)
-                y_true_all.append(np.asarray(data.y)[mask])
-                y_pred_all.append(np.asarray(y_hat)[mask])
+                y_hat, y, mask = (np.asarray(v) for v in pack)
+                y_true_all.append(y[mask])
+                y_pred_all.append(y_hat[mask])
         avg_loss = total_loss / max(total_n, 1)
         if self.tcfg.evaluator == "rocauc":
             metric = roc_auc_score(np.concatenate(y_true_all),

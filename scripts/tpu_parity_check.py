@@ -54,8 +54,9 @@ def run(bn_mlp: bool):
 
     state = trainer.init_state(data_plain, seed=0)
 
-    y_slab, l_slab, *_ = trainer._jit_eval_step(state, data_slab)
-    y_plain, l_plain, *_ = trainer._jit_eval_step(state, data_plain)
+    (y_slab, _, _), l_slab, *_ = trainer._jit_eval_step(state, data_slab)
+    (y_plain, _, _), l_plain, *_ = trainer._jit_eval_step(state,
+                                                          data_plain)
     gm = np.asarray(data_plain.graph_mask)
     dy = float(np.max(np.abs(np.asarray(y_slab)[gm]
                              - np.asarray(y_plain)[gm])))

@@ -99,6 +99,100 @@ def test_all_reference_readme_commands_parse():
         assert "mode" in args
 
 
+def test_cli_parallel_dp_matches_single(tmp_path):
+    """--parallel dp drives the FULL engine (folds, scheduler, eval,
+    checkpointing) under shard_map on the 8-device mesh and reproduces
+    the single-device metric trajectory (VERDICT r4 #1 done bar)."""
+    make_tu_dataset(str(tmp_path))
+    r_single = run_cli(["--mode", "train"], tmp_path)
+    r_dp = run_cli(["--mode", "train", "--parallel", "dp"], tmp_path)
+    # metric trajectory matches exactly; loss curves after several Adam
+    # epochs accumulate lr*sign(noise) drift on zero-grad leaves
+    # (CLAUDE.md) — per-epoch loss exactness from identical states is
+    # pinned by tests/test_parallel_trainer.py instead
+    np.testing.assert_allclose(r_dp[0]["test_accs"],
+                               r_single[0]["test_accs"], atol=1e-6)
+    assert r_dp[0]["test_losses"][-1] < r_dp[0]["test_losses"][0]
+
+
+def test_cli_parallel_ep_runs(tmp_path):
+    """--parallel ep end-to-end through the CLI (4-device mesh)."""
+    make_tu_dataset(str(tmp_path))
+    r_single = run_cli(["--mode", "train"], tmp_path)
+    r_ep = run_cli(["--mode", "train", "--parallel", "ep",
+                    "--parallel_devices", "4"], tmp_path)
+    np.testing.assert_allclose(r_ep[0]["test_accs"],
+                               r_single[0]["test_accs"], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_cli_multiprocess_dp(tmp_path):
+    """CLI-level 2-process x 2-device run: the full CLI with
+    --coordinator_address/--process_id trains ONE data-parallel model
+    over the global mesh (not N redundant copies) and reproduces the
+    single-process metric aggregation."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    make_tu_dataset(str(tmp_path))
+    # single-process reference run; also pre-warms the counting cache so
+    # the spawned workers don't race regenerating it
+    ref = run_cli(["--mode", "train"], tmp_path)
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    argv = [
+        sys.executable, "-m", "gsn_tpu.cli", "--device", "cpu",
+        "--dataset", "social", "--dataset_name", "TOY",
+        "--root_folder", str(tmp_path),
+        "--cache_folder", str(tmp_path / "mp_cache"),
+        "--id_type", "cycle_graph", "--k", "4", "--id_scope", "global",
+        "--model_name", "GSN_sparse", "--num_layers", "2",
+        "--d_out", "16", "--msg_kind", "general", "--batch_size", "8",
+        "--fold_idx", "0", "--num_epochs", "8", "--eval_frequency", "7",
+        "--lr", "0.01", "--scheduler", "None", "--mode", "train",
+        "--parallel", "dp",
+        "--coordinator_address", f"127.0.0.1:{port}",
+        "--num_procs_distributed", "2",
+    ]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(argv + ["--process_id", str(i)], env=env,
+                              cwd=os.path.dirname(os.path.dirname(
+                                  os.path.abspath(__file__))),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    assert [p.returncode for p in procs] == [0, 0], "\n----\n".join(outs)
+
+    agg = None
+    for line in outs[0].splitlines():
+        if line.startswith("{") and "last_test_mean" in line:
+            agg = json.loads(line)
+    assert agg is not None, outs[0]
+    assert agg["last_test_mean"] == pytest.approx(
+        ref[0]["test_accs"][-1], abs=1e-6)
+    # rank-0-only side effects: only the coordinator wrote the ckpt/log
+    ckpt = (tmp_path / "mp_cache" / "results" / "temp" / "0"
+            / "GSN_sparse" / "checkpoints" / "checkpoint.pkl")
+    assert ckpt.exists()
+
+
 def test_dgn_config_file_merge(tmp_path):
     """Reference main_HIV.py:249-357 semantics: the JSON config file is
     the primary input (overrides parser defaults); explicitly-given CLI
