@@ -432,6 +432,8 @@ def main(args: Dict):
                 project=args.get("wandb_project", "gsn_project"),
                 entity=args.get("wandb_entity", None),
                 config=args)
+        if logger is not None:
+            logger.watch(state.params)   # reference wandb.watch, main.py:296
         state, hist = trainer.fit(state, train, test, graphs_val=val,
                                   checkpoint_file=ckpt_write,
                                   logger=logger)

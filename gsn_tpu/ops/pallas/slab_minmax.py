@@ -20,11 +20,20 @@ Empty slab rows carry the finite sentinel ``NEG`` (±inf would produce
 segment-max over C·S_R block rows, and empty nodes are filled with 0
 (DGL max_nodes semantics, as ``masked_segment_max``).
 
-Backward (two kernel launches — ties must be counted against the
-GLOBAL cross-chunk maxima): pass 1 scatters per-edge argmax-tie masks
-(h == out[recv]) into sum slabs -> global tie counts; pass 2 computes
-dh = tie · g[recv] / cnt[recv] (even tie-splitting, matching
-``jax.ops.segment_max``'s cotangent) and scatters dB via oh_sᵀ.
+Backward: ONE kernel launch (r5; the r4 design used two — a global
+tie-count pass then the cotangent pass — re-doing the one-hot gather
+each time).  The trick is to count ties in the FORWARD, where the
+gather is already paid: each chunk also emits a slab of per-edge
+tie counts against its OWN chunk maxima, and the XLA combine turns
+them into ties against the GLOBAL maxima for free —
+
+    cnt[v] = Σ_c cnt_c[v] · 1[max_c[v] == raw[v]]
+
+(a chunk's ties only count where that chunk attained the global max;
+block-row segment ops, same cost class as the max combine).  The
+backward then gathers the node-level ``Gp = g / max(cnt, 1)`` and
+scatters dh = tie_e · Gp[recv] in a single launch — even
+tie-splitting, matching ``jax.ops.segment_max``'s cotangent.
 """
 
 from __future__ import annotations
@@ -94,32 +103,36 @@ def minmax_slab_body(recv, oh_r, hc, valid, Be):
     return jnp.where(n_sel > 0, val, NEG)
 
 
+def minmax_fwd_slabs(recv, oh_r, hc, valid, Be):
+    """(max slab, tie-count slab) for one chunk.  The tie counts are
+    against the CHUNK's own maxima — the combine promotes them to
+    global counts (a chunk's ties only count where it attained the
+    global max).  Shares the gather/one-hots already built by the
+    caller (forward kernel or the fused DGN kernel)."""
+    slab = minmax_slab_body(recv, oh_r, hc, valid, Be)
+    max_e = onehot_dot(oh_r, slab)                    # chunk max per edge
+    tie = (jnp.equal(hc, max_e) & valid).astype(jnp.float32)
+    cnt_slab = onehot_dot_t(oh_r, tie)
+    return slab, cnt_slab
+
+
 def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
                 block_n, s_s):
     b_refs = refs[:s_s]
-    slab_ref = refs[-1]
+    slab_ref, cnt_ref = refs[-2], refs[-1]
     recv, oh_r, oh_s, hc, valid, Be = _scan_state(
         recv_ref, send_ref, b_refs, block_n, s_s)
-    slab_ref[...] = minmax_slab_body(recv, oh_r, hc, valid, Be)[None]
+    slab, cnt_slab = minmax_fwd_slabs(recv, oh_r, hc, valid, Be)
+    slab_ref[...] = slab[None]
+    cnt_ref[...] = cnt_slab[None]
 
 
-def _tie_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
-                block_n, s_s):
-    b_refs = refs[:s_s]
-    out0, out1, tie_slab_ref = refs[s_s:]
-    recv, oh_r, oh_s, hc, valid, Be = _scan_state(
-        recv_ref, send_ref, b_refs, block_n, s_s)
-    out_span = jnp.concatenate([out0[...], out1[...]], 0)   # raw maxima
-    out_e = onehot_dot(oh_r, out_span)
-    tie = ((hc == out_e) & valid).astype(jnp.float32)
-    tie_slab_ref[...] = onehot_dot_t(oh_r, tie)[None]
-
-
-def minmax_dh_body(hc, out_e, cnt_e, g_e, valid):
+def minmax_dh_body(hc, out_e, gp_e, valid):
     """Per-edge cotangent of the minmax output: even tie-split against
-    the GLOBAL maxima (shared with the fused DGN kernel)."""
+    the GLOBAL maxima; ``gp_e`` gathers the node-level g/max(cnt,1)
+    (shared with the fused DGN kernel)."""
     tie = ((hc == out_e) & valid).astype(jnp.float32)
-    dhc = tie * g_e / jnp.maximum(cnt_e, 1.0)
+    dhc = tie * gp_e
     d = hc.shape[1] // 2
     return dhc[:, :d] - dhc[:, d:]     # hc = [h, -h]
 
@@ -127,16 +140,14 @@ def minmax_dh_body(hc, out_e, cnt_e, g_e, valid):
 def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
                 block_n, s_s):
     b_refs = refs[:s_s]
-    out0, out1, cnt0, cnt1, g0, g1, db_slab_ref = refs[s_s:]
+    out0, out1, gp0, gp1, db_slab_ref = refs[s_s:]
     recv, oh_r, oh_s, hc, valid, Be = _scan_state(
         recv_ref, send_ref, b_refs, block_n, s_s)
     out_span = jnp.concatenate([out0[...], out1[...]], 0)
-    cnt_span = jnp.concatenate([cnt0[...], cnt1[...]], 0)
-    g_span = jnp.concatenate([g0[...], g1[...]], 0)
+    gp_span = jnp.concatenate([gp0[...], gp1[...]], 0)
     out_e = onehot_dot(oh_r, out_span)
-    cnt_e = onehot_dot(oh_r, cnt_span)
-    g_e = onehot_dot(oh_r, g_span)
-    dh = minmax_dh_body(hc, out_e, cnt_e, g_e, valid)
+    gp_e = onehot_dot(oh_r, gp_span)
+    dh = minmax_dh_body(hc, out_e, gp_e, valid)
     db_slab_ref[...] = onehot_dot_t(oh_s, dh)[None]
 
 
@@ -150,6 +161,24 @@ def _minmax_combine(slabs, fb, num_blocks, block_n, d2):
            + jnp.arange(S_R, dtype=fb.dtype)[None, :]).reshape(-1)
     out = jax.ops.segment_max(rows, ids, num_segments=num_blocks)
     return out.reshape(num_blocks * block_n, d2)
+
+
+def _minmax_combine_cnt(mm_slabs, cnt_slabs, fb, num_blocks, block_n,
+                        d2):
+    """(global maxima, global tie counts) from per-chunk (max, count)
+    slabs: cnt[v] = Σ_c cnt_c[v] · 1[max_c[v] == raw[v]] — block-row
+    segment ops only, no node scatter."""
+    C = mm_slabs.shape[0]
+    rows = mm_slabs.reshape(C * S_R, block_n, d2)
+    crows = cnt_slabs.reshape(C * S_R, block_n, d2)
+    ids = (fb[:, None]
+           + jnp.arange(S_R, dtype=fb.dtype)[None, :]).reshape(-1)
+    raw = jax.ops.segment_max(rows, ids, num_segments=num_blocks)
+    agree = jnp.equal(rows, raw[ids]).astype(jnp.float32)
+    cnt = jax.ops.segment_sum(crows * agree, ids,
+                              num_segments=num_blocks)
+    return (raw.reshape(num_blocks * block_n, d2),
+            cnt.reshape(num_blocks * block_n, d2))
 
 
 def _edge_specs(block_e, block_n, d, s_s):
@@ -200,22 +229,31 @@ def _fwd(B, recv_local, send_local, fb_wf, num_nodes, block_n, block_e,
         num_scalar_prefetch=2,
         grid=(C,),
         in_specs=_edge_specs(block_e, block_n, d, s_s),
-        out_specs=pl.BlockSpec((1, S_R * block_n, 2 * d),
-                               lambda t, fb, wf: (t, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, S_R * block_n, 2 * d),
+                         lambda t, fb, wf: (t, 0, 0)),
+            pl.BlockSpec((1, S_R * block_n, 2 * d),
+                         lambda t, fb, wf: (t, 0, 0)),
+        ],
     )
-    slabs = pl.pallas_call(
+    slabs, cnt_slabs = pl.pallas_call(
         functools.partial(_fwd_kernel, block_n=block_n, s_s=s_s),
         grid_spec=grid_spec,
-        out_shape=_out_struct((C, S_R * block_n, 2 * d), jnp.float32,
-                              B_p, recv_local, send_local, fb_wf),
+        out_shape=[
+            _out_struct((C, S_R * block_n, 2 * d), jnp.float32,
+                        B_p, recv_local, send_local, fb_wf),
+            _out_struct((C, S_R * block_n, 2 * d), jnp.float32,
+                        B_p, recv_local, send_local, fb_wf),
+        ],
         interpret=interpret,
     )(fb_wf[0], fb_wf[1],
       recv_local.reshape(C, 1, block_e),
       send_local.reshape(C, 1, block_e),
       *((B_p,) * s_s))
-    raw = _minmax_combine(slabs, fb_wf[0], num_blocks, block_n, 2 * d)
+    raw, cnt = _minmax_combine_cnt(slabs, cnt_slabs, fb_wf[0],
+                                   num_blocks, block_n, 2 * d)
     out = jnp.where(raw <= NEG / 2, 0.0, raw)
-    return out, (B, recv_local, send_local, fb_wf, raw)
+    return out, (B, recv_local, send_local, fb_wf, raw, cnt)
 
 
 def _fwd_vjp(B, recv_local, send_local, fb_wf, num_real_nodes,
@@ -228,7 +266,7 @@ def _fwd_vjp(B, recv_local, send_local, fb_wf, num_real_nodes,
 
 def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
              res, g):
-    B, recv_local, send_local, fb_wf, raw = res
+    B, recv_local, send_local, fb_wf, raw, cnt = res
     C = fb_wf.shape[1]
     d = B.shape[1]
     num_blocks = num_nodes // block_n
@@ -236,35 +274,15 @@ def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
     B_p = _pad_nodes(B, num_nodes, ddt)
     g = jnp.pad(g.astype(jnp.float32),
                 ((0, num_nodes - g.shape[0]), (0, 0)))
+    # node-level even-tie-split cotangent; tie counts came out of the
+    # FORWARD combine, so the backward is ONE launch
+    gp = g / jnp.maximum(cnt, 1.0)
 
-    # pass 1: global tie counts (ties vs the cross-chunk raw maxima)
-    tie_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(C,),
-        in_specs=(_edge_specs(block_e, block_n, d, s_s)
-                  + _span_specs(block_n, 2 * d)),
-        out_specs=pl.BlockSpec((1, S_R * block_n, 2 * d),
-                               lambda t, fb, wf: (t, 0, 0)),
-    )
-    tie_slabs = pl.pallas_call(
-        functools.partial(_tie_kernel, block_n=block_n, s_s=s_s),
-        grid_spec=tie_grid,
-        out_shape=_out_struct((C, S_R * block_n, 2 * d), jnp.float32,
-                              B_p, recv_local, send_local, fb_wf),
-        interpret=interpret,
-    )(fb_wf[0], fb_wf[1],
-      recv_local.reshape(C, 1, block_e),
-      send_local.reshape(C, 1, block_e),
-      *((B_p,) * s_s), raw, raw)
-    cnt = _combine_slabs(tie_slabs, fb_wf[0], S_R, num_blocks, block_n,
-                         2 * d)
-
-    # pass 2: dh = tie * g / cnt, scattered to dB via oh_s
     bwd_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(C,),
         in_specs=(_edge_specs(block_e, block_n, d, s_s)
-                  + _span_specs(block_n, 2 * d) * 3),
+                  + _span_specs(block_n, 2 * d) * 2),
         out_specs=[
             pl.BlockSpec((1, s_s * block_n, d),
                          lambda t, fb, wf: (t, 0, 0)),
@@ -281,7 +299,7 @@ def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
     )(fb_wf[0], fb_wf[1],
       recv_local.reshape(C, 1, block_e),
       send_local.reshape(C, 1, block_e),
-      *((B_p,) * s_s), raw, raw, cnt, cnt, g, g)
+      *((B_p,) * s_s), raw, raw, gp, gp)
     dB = _combine_slabs(db_slabs, fb_wf[1], s_s, num_blocks, block_n,
                         d)[:B.shape[0]].astype(B.dtype)
     return (dB, None, None, None, None)

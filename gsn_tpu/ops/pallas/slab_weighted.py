@@ -254,8 +254,8 @@ slab_weighted_gather.defvjp(_fwd_vjp, _bwd_vjp)
 # DMAs and the h gather — three separate launches re-did all of that,
 # ~20% of the measured DGN step).
 
-from .slab_minmax import (NEG, _minmax_combine, minmax_dh_body,  # noqa: E402
-                          minmax_slab_body)
+from .slab_minmax import (NEG, _minmax_combine_cnt,  # noqa: E402
+                          minmax_dh_body, minmax_fwd_slabs)
 
 
 def _common_state(recv_ref, send_ref, b_refs, block_n, s_s):
@@ -279,7 +279,7 @@ def _hc_of(h, b_dtype):
 def _dgn_fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
                     block_n, K, s_s, data_dtype):
     b_refs = refs[:s_s]
-    wslab_ref, mmslab_ref = refs[-2], refs[-1]
+    wslab_ref, mmslab_ref, cnt_ref = refs[-3], refs[-2], refs[-1]
     recv, oh_r, oh_s, h, b_dtype, Be = _common_state(
         recv_ref, send_ref, b_refs, block_n, s_s)
     if data_dtype == "bfloat16":
@@ -290,15 +290,20 @@ def _dgn_fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
         parts = [_wdot_t(oh_r, w, h) for w in _w_cols(w_ref, K)]
     wslab_ref[...] = jnp.concatenate(parts, axis=1)[None]
     valid = recv >= 0
-    mmslab_ref[...] = minmax_slab_body(
-        recv, oh_r, _hc_of(h, b_dtype), valid, Be)[None]
+    slab, cnt_slab = minmax_fwd_slabs(
+        recv, oh_r, _hc_of(h, b_dtype), valid, Be)
+    mmslab_ref[...] = slab[None]
+    cnt_ref[...] = cnt_slab[None]
 
 
-def _dgn_bwd1_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
-                     block_n, K, s_s, data_dtype):
-    """Weighted backward (dW + dB_w slab) + global-max tie slabs."""
+def _dgn_bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
+                    block_n, K, s_s, data_dtype):
+    """The WHOLE fused backward in one launch: weighted dW + the merged
+    dh (weighted + minmax even-tie-split cotangents) scattered into a
+    single dB slab.  The tie counts were produced by the forward, so
+    the minmax part only gathers the node-level Gp = g/max(cnt,1)."""
     b_refs = refs[:s_s]
-    gw0, gw1, raw0, raw1, dw_ref, dbw_slab_ref, tie_slab_ref = refs[s_s:]
+    gw0, gw1, raw0, raw1, gp0, gp1, dw_ref, db_slab_ref = refs[s_s:]
     recv, oh_r, oh_s, h, b_dtype, Be = _common_state(
         recv_ref, send_ref, b_refs, block_n, s_s)
     d = h.shape[1]
@@ -313,32 +318,14 @@ def _dgn_bwd1_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
         dh = dh + w * g_k
         dws.append(jnp.sum(h * g_k, axis=1, keepdims=True))
     dw_ref[...] = jnp.concatenate(dws, axis=1)          # [Be, K]
+    raw_span = jnp.concatenate([raw0[...], raw1[...]], 0)
+    gp_span = jnp.concatenate([gp0[...], gp1[...]], 0)
+    out_e = onehot_dot(oh_r, raw_span)
+    gp_e = onehot_dot(oh_r, gp_span)
+    valid = recv >= 0
+    dh = dh + minmax_dh_body(_hc_of(h, b_dtype), out_e, gp_e, valid)
     if data_dtype == "bfloat16":
         dh = dh.astype(jnp.bfloat16)
-    dbw_slab_ref[...] = onehot_dot_t(oh_s, dh)[None]
-    raw_span = jnp.concatenate([raw0[...], raw1[...]], 0)
-    out_e = onehot_dot(oh_r, raw_span)
-    valid = recv >= 0
-    tie = ((_hc_of(h, b_dtype) == out_e) & valid).astype(jnp.float32)
-    tie_slab_ref[...] = onehot_dot_t(oh_r, tie)[None]
-
-
-def _dgn_bwd2_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
-                     block_n, s_s):
-    """Minmax dh -> dB_mm slab (needs the GLOBAL tie counts from the
-    combined pass-1 output, hence a separate launch)."""
-    b_refs = refs[:s_s]
-    raw0, raw1, cnt0, cnt1, gm0, gm1, db_slab_ref = refs[s_s:]
-    recv, oh_r, oh_s, h, b_dtype, Be = _common_state(
-        recv_ref, send_ref, b_refs, block_n, s_s)
-    raw_span = jnp.concatenate([raw0[...], raw1[...]], 0)
-    cnt_span = jnp.concatenate([cnt0[...], cnt1[...]], 0)
-    g_span = jnp.concatenate([gm0[...], gm1[...]], 0)
-    out_e = onehot_dot(oh_r, raw_span)
-    cnt_e = onehot_dot(oh_r, cnt_span)
-    g_e = onehot_dot(oh_r, g_span)
-    valid = recv >= 0
-    dh = minmax_dh_body(_hc_of(h, b_dtype), out_e, cnt_e, g_e, valid)
     db_slab_ref[...] = onehot_dot_t(oh_s, dh)[None]
 
 
@@ -397,14 +384,18 @@ def _dgn_fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
                          lambda t, fb, wf: (t, 0, 0)),
             pl.BlockSpec((1, S_R * block_n, 2 * d),
                          lambda t, fb, wf: (t, 0, 0)),
+            pl.BlockSpec((1, S_R * block_n, 2 * d),
+                         lambda t, fb, wf: (t, 0, 0)),
         ],
     )
-    w_slabs, mm_slabs = pl.pallas_call(
+    w_slabs, mm_slabs, cnt_slabs = pl.pallas_call(
         functools.partial(_dgn_fwd_kernel, block_n=block_n, K=K,
                           s_s=s_s, data_dtype=data_dtype),
         grid_spec=grid_spec,
         out_shape=[
             _out_struct((C, S_R * block_n, K * d), jnp.float32,
+                        B_p, W_f, recv_local, send_local, fb_wf),
+            _out_struct((C, S_R * block_n, 2 * d), jnp.float32,
                         B_p, W_f, recv_local, send_local, fb_wf),
             _out_struct((C, S_R * block_n, 2 * d), jnp.float32,
                         B_p, W_f, recv_local, send_local, fb_wf),
@@ -416,10 +407,11 @@ def _dgn_fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
       W_f, *((B_p,) * s_s))
     w_out = _combine_slabs(w_slabs, fb_wf[0], S_R, num_blocks, block_n,
                            K * d)
-    raw = _minmax_combine(mm_slabs, fb_wf[0], num_blocks, block_n,
-                          2 * d)
+    raw, cnt = _minmax_combine_cnt(mm_slabs, cnt_slabs, fb_wf[0],
+                                   num_blocks, block_n, 2 * d)
     mm_out = jnp.where(raw <= NEG / 2, 0.0, raw)
-    return (w_out, mm_out), (B, W, recv_local, send_local, fb_wf, raw)
+    return ((w_out, mm_out),
+            (B, W, recv_local, send_local, fb_wf, raw, cnt))
 
 
 def _dgn_fwd_vjp(B, W, recv_local, send_local, fb_wf, num_real_nodes,
@@ -433,7 +425,7 @@ def _dgn_fwd_vjp(B, W, recv_local, send_local, fb_wf, num_real_nodes,
 def _dgn_bwd_vjp(num_nodes, block_n, block_e, interpret, s_s,
                  data_dtype, res, g):
     g_w, g_mm = g
-    B, W, recv_local, send_local, fb_wf, raw = res
+    B, W, recv_local, send_local, fb_wf, raw, cnt = res
     C = fb_wf.shape[1]
     d = B.shape[1]
     K = W.shape[1]
@@ -445,72 +437,40 @@ def _dgn_bwd_vjp(num_nodes, block_n, block_e, interpret, s_s,
                   ((0, num_nodes - g_w.shape[0]), (0, 0)))
     g_mm = jnp.pad(g_mm.astype(jnp.float32),
                    ((0, num_nodes - g_mm.shape[0]), (0, 0)))
+    # tie counts came from the forward combine -> the minmax cotangent
+    # is a node-level gather; the whole backward is ONE launch with a
+    # single merged dB slab
+    gp = g_mm / jnp.maximum(cnt, 1.0)
 
-    # pass 1: weighted backward + global tie slabs, one launch
     grid1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(C,),
         in_specs=(_base_specs(block_e, block_n, d, K, s_s)
-                  + _span2(block_n, K * d) + _span2(block_n, 2 * d)),
+                  + _span2(block_n, K * d) + _span2(block_n, 2 * d) * 2),
         out_specs=[
             pl.BlockSpec((block_e, K), lambda t, fb, wf: (t, 0)),
             pl.BlockSpec((1, s_s * block_n, d),
                          lambda t, fb, wf: (t, 0, 0)),
-            pl.BlockSpec((1, S_R * block_n, 2 * d),
-                         lambda t, fb, wf: (t, 0, 0)),
         ],
     )
-    dW, dbw_slabs, tie_slabs = pl.pallas_call(
-        functools.partial(_dgn_bwd1_kernel, block_n=block_n, K=K,
+    dW, db_slabs = pl.pallas_call(
+        functools.partial(_dgn_bwd_kernel, block_n=block_n, K=K,
                           s_s=s_s, data_dtype=data_dtype),
         grid_spec=grid1,
         out_shape=[
             _out_struct((C * block_e, K), jnp.float32,
                         B_p, W_f, recv_local, send_local, fb_wf, g_w),
             _out_struct((C, s_s * block_n, d), jnp.float32,
-                        B_p, W_f, recv_local, send_local, fb_wf, g_w),
-            _out_struct((C, S_R * block_n, 2 * d), jnp.float32,
-                        B_p, W_f, recv_local, send_local, fb_wf, g_mm),
+                        B_p, W_f, recv_local, send_local, fb_wf, g_w,
+                        g_mm),
         ],
         interpret=interpret,
     )(fb_wf[0], fb_wf[1],
       recv_local.reshape(C, 1, block_e),
       send_local.reshape(C, 1, block_e),
-      W_f, *((B_p,) * s_s), g_w, g_w, raw, raw)
-    cnt = _combine_slabs(tie_slabs, fb_wf[0], S_R, num_blocks, block_n,
-                         2 * d)
+      W_f, *((B_p,) * s_s), g_w, g_w, raw, raw, gp, gp)
 
-    # pass 2: minmax dh with the global tie counts
-    grid2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(C,),
-        in_specs=([
-            pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
-            pl.BlockSpec((1, 1, block_e), lambda t, fb, wf: (t, 0, 0)),
-        ] + [
-            pl.BlockSpec((block_n, d),
-                         lambda t, fb, wf, k=k: (_at(wf, t) + k, 0))
-            for k in range(s_s)
-        ] + _span2(block_n, 2 * d) * 3),
-        out_specs=[
-            pl.BlockSpec((1, s_s * block_n, d),
-                         lambda t, fb, wf: (t, 0, 0)),
-        ],
-    )
-    dbmm_slabs, = pl.pallas_call(
-        functools.partial(_dgn_bwd2_kernel, block_n=block_n, s_s=s_s),
-        grid_spec=grid2,
-        out_shape=[
-            _out_struct((C, s_s * block_n, d), jnp.float32,
-                        B_p, recv_local, send_local, fb_wf, g_mm),
-        ],
-        interpret=interpret,
-    )(fb_wf[0], fb_wf[1],
-      recv_local.reshape(C, 1, block_e),
-      send_local.reshape(C, 1, block_e),
-      *((B_p,) * s_s), raw, raw, cnt, cnt, g_mm, g_mm)
-
-    dB = _combine_slabs(dbw_slabs + dbmm_slabs, fb_wf[1], s_s,
+    dB = _combine_slabs(db_slabs, fb_wf[1], s_s,
                         num_blocks, block_n, d)[:B.shape[0]] \
         .astype(B.dtype)
     return (dB, dW[:W.shape[0]].astype(W.dtype), None, None, None, None)

@@ -57,6 +57,32 @@ class RunLogger:
             else:
                 self._buffer.append((metrics, step))
 
+    def watch(self, params) -> Dict[str, int]:
+        """Counterpart of ``wandb.watch(model)`` (reference main.py:296):
+        records the model's parameter inventory — per-leaf shapes and the
+        total count — as one log record (wandb's gradient/weight
+        histograms have no offline analogue; the param census is the
+        durable part).  ``params`` is a (nested) param pytree."""
+        import numpy as np
+
+        shapes: Dict[str, int] = {}
+        total = 0
+
+        def walk(tree, prefix=""):
+            nonlocal total
+            if hasattr(tree, "items"):
+                for k, v in tree.items():
+                    walk(v, f"{prefix}{k}/")
+            else:
+                n = int(np.prod(np.shape(tree))) if np.ndim(tree) else 1
+                shapes[prefix.rstrip("/")] = n
+                total += n
+
+        walk(params)
+        self.log({"watch_num_params": total,
+                  "watch_param_shapes": shapes})
+        return {"num_params": total, **shapes}
+
     def set_summary(self, **kv):
         self.summary.update(kv)
         if self._wandb:
