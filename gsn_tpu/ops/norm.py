@@ -62,6 +62,12 @@ class MaskedBatchNorm(nn.Module):
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # NB (r5, measured): re-expressing these column sums as MXU
+            # ones-dots / Gram diagonals ([1,N]@[N,d], diag([d,N]@[N,d]))
+            # does NOT beat the VPU reduce on chip — each such dot cost
+            # ~0.33 ms on the molhiv [31k, 300] shape (≈ the reduce it
+            # replaced) and the extra ~20 of them regressed the step
+            # 2.99M -> 2.45M edges/s.  Keep the plain reductions.
             if moments is not None:
                 n, sum_x, sum_x2 = moments
                 n = jnp.asarray(n, jnp.float32)

@@ -123,8 +123,8 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
     recv, oh_r, oh_s, hc, valid, Be = _scan_state(
         recv_ref, send_ref, b_refs, block_n, s_s)
     slab, cnt_slab = minmax_fwd_slabs(recv, oh_r, hc, valid, Be)
-    slab_ref[...] = slab[None]
-    cnt_ref[...] = cnt_slab[None]
+    slab_ref[...] = slab.astype(slab_ref.dtype)[None]
+    cnt_ref[...] = cnt_slab.astype(cnt_ref.dtype)[None]
 
 
 def minmax_dh_body(hc, out_e, gp_e, valid):
@@ -148,7 +148,8 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, *refs,
     out_e = onehot_dot(oh_r, out_span)
     gp_e = onehot_dot(oh_r, gp_span)
     dh = minmax_dh_body(hc, out_e, gp_e, valid)
-    db_slab_ref[...] = onehot_dot_t(oh_s, dh)[None]
+    db_slab_ref[...] = onehot_dot_t(oh_s, dh).astype(
+        db_slab_ref.dtype)[None]
 
 
 def _minmax_combine(slabs, fb, num_blocks, block_n, d2):
@@ -236,13 +237,14 @@ def _fwd(B, recv_local, send_local, fb_wf, num_nodes, block_n, block_e,
                          lambda t, fb, wf: (t, 0, 0)),
         ],
     )
+    sdt = jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32
     slabs, cnt_slabs = pl.pallas_call(
         functools.partial(_fwd_kernel, block_n=block_n, s_s=s_s),
         grid_spec=grid_spec,
         out_shape=[
-            _out_struct((C, S_R * block_n, 2 * d), jnp.float32,
+            _out_struct((C, S_R * block_n, 2 * d), sdt,
                         B_p, recv_local, send_local, fb_wf),
-            _out_struct((C, S_R * block_n, 2 * d), jnp.float32,
+            _out_struct((C, S_R * block_n, 2 * d), sdt,
                         B_p, recv_local, send_local, fb_wf),
         ],
         interpret=interpret,
@@ -292,7 +294,9 @@ def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
         functools.partial(_bwd_kernel, block_n=block_n, s_s=s_s),
         grid_spec=bwd_grid,
         out_shape=[
-            _out_struct((C, s_s * block_n, d), jnp.float32,
+            _out_struct((C, s_s * block_n, d),
+                        jnp.bfloat16 if data_dtype == "bfloat16"
+                        else jnp.float32,
                         B_p, recv_local, send_local, fb_wf, g),
         ],
         interpret=interpret,

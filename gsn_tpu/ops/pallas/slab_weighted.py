@@ -65,6 +65,14 @@ def _wdot_t(oh_r, w, h):
                               hh.astype(jnp.bfloat16))
 
 
+def _sdt(data_dtype):
+    """Slab (intermediate) dtype: bf16 under the compute_dtype path —
+    the per-chunk slabs are the kernels' dominant HBM traffic, and the
+    combine accumulates f32 either way (r3 'bf16 slabs' lore, applied
+    to the DGN kernel family in r5)."""
+    return jnp.bfloat16 if data_dtype == "bfloat16" else jnp.float32
+
+
 def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
                 block_n, K, s_s, data_dtype="float32"):
     b_refs = refs[:s_s]
@@ -87,7 +95,8 @@ def _fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
     else:
         parts = [_wdot_t(oh_r, w, h)                  # [2Bn, d] each
                  for w in _w_cols(w_ref, K)]
-    slab_ref[...] = jnp.concatenate(parts, axis=1)[None]
+    slab_ref[...] = jnp.concatenate(parts, axis=1).astype(
+        slab_ref.dtype)[None]
 
 
 def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
@@ -117,7 +126,8 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
     dw_ref[...] = jnp.concatenate(dws, axis=1)        # [Be, K]
     if data_dtype == "bfloat16":
         dh = dh.astype(jnp.bfloat16)   # single-pass scatter dot
-    db_slab_ref[...] = onehot_dot_t(oh_s, dh)[None]   # [s_s*Bn, d]
+    db_slab_ref[...] = onehot_dot_t(oh_s, dh).astype(
+        db_slab_ref.dtype)[None]                      # [s_s*Bn, d]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
@@ -169,7 +179,8 @@ def _fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
         functools.partial(_fwd_kernel, block_n=block_n, K=K, s_s=s_s,
                           data_dtype=data_dtype),
         grid_spec=grid_spec,
-        out_shape=_out_struct((C, S_R * block_n, K * d), jnp.float32,
+        out_shape=_out_struct((C, S_R * block_n, K * d),
+                              _sdt(data_dtype),
                               B_p, W_f, recv_local, send_local, fb_wf),
         interpret=interpret,
     )(fb_wf[0], fb_wf[1],
@@ -232,7 +243,7 @@ def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
         out_shape=[
             _out_struct((C * block_e, K), jnp.float32,
                         B_p, W_f, recv_local, send_local, fb_wf, g),
-            _out_struct((C, s_s * block_n, d), jnp.float32,
+            _out_struct((C, s_s * block_n, d), _sdt(data_dtype),
                         B_p, W_f, recv_local, send_local, fb_wf, g),
         ],
         interpret=interpret,
@@ -288,12 +299,13 @@ def _dgn_fwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
                  for w in _w_cols(w_ref, K)]
     else:
         parts = [_wdot_t(oh_r, w, h) for w in _w_cols(w_ref, K)]
-    wslab_ref[...] = jnp.concatenate(parts, axis=1)[None]
+    wslab_ref[...] = jnp.concatenate(parts, axis=1).astype(
+        wslab_ref.dtype)[None]
     valid = recv >= 0
     slab, cnt_slab = minmax_fwd_slabs(
         recv, oh_r, _hc_of(h, b_dtype), valid, Be)
-    mmslab_ref[...] = slab[None]
-    cnt_ref[...] = cnt_slab[None]
+    mmslab_ref[...] = slab.astype(mmslab_ref.dtype)[None]
+    cnt_ref[...] = cnt_slab.astype(cnt_ref.dtype)[None]
 
 
 def _dgn_bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
@@ -326,7 +338,8 @@ def _dgn_bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
     dh = dh + minmax_dh_body(_hc_of(h, b_dtype), out_e, gp_e, valid)
     if data_dtype == "bfloat16":
         dh = dh.astype(jnp.bfloat16)
-    db_slab_ref[...] = onehot_dot_t(oh_s, dh)[None]
+    db_slab_ref[...] = onehot_dot_t(oh_s, dh).astype(
+        db_slab_ref.dtype)[None]
 
 
 def _span2(block_n, width):
@@ -393,11 +406,11 @@ def _dgn_fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
                           s_s=s_s, data_dtype=data_dtype),
         grid_spec=grid_spec,
         out_shape=[
-            _out_struct((C, S_R * block_n, K * d), jnp.float32,
+            _out_struct((C, S_R * block_n, K * d), _sdt(data_dtype),
                         B_p, W_f, recv_local, send_local, fb_wf),
-            _out_struct((C, S_R * block_n, 2 * d), jnp.float32,
+            _out_struct((C, S_R * block_n, 2 * d), _sdt(data_dtype),
                         B_p, W_f, recv_local, send_local, fb_wf),
-            _out_struct((C, S_R * block_n, 2 * d), jnp.float32,
+            _out_struct((C, S_R * block_n, 2 * d), _sdt(data_dtype),
                         B_p, W_f, recv_local, send_local, fb_wf),
         ],
         interpret=interpret,
@@ -460,7 +473,7 @@ def _dgn_bwd_vjp(num_nodes, block_n, block_e, interpret, s_s,
         out_shape=[
             _out_struct((C * block_e, K), jnp.float32,
                         B_p, W_f, recv_local, send_local, fb_wf, g_w),
-            _out_struct((C, s_s * block_n, d), jnp.float32,
+            _out_struct((C, s_s * block_n, d), _sdt(data_dtype),
                         B_p, W_f, recv_local, send_local, fb_wf, g_w,
                         g_mm),
         ],
