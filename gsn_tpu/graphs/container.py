@@ -59,6 +59,11 @@ class GraphBatch:
     # per batch by build_slab_metadata; the kernel must be launched with
     # exactly this value
     seg_s_s: Optional[int] = struct.field(pytree_node=False, default=None)
+    # static (kc_recv, kc_send) max-contributors-per-block pair for the
+    # accumulating Pallas slab combine (ops/pallas/slab_combine.py);
+    # None entries fall back to the XLA one-hot combine
+    seg_kc: Optional[tuple] = struct.field(pytree_node=False,
+                                           default=None)
     # host-precomputed receiver in-degree [N] float32 (constant per
     # batch; saves an on-device segment-sum in the fused kernel's
     # second-dense bias correction)
@@ -215,6 +220,7 @@ def batch_graphs(
     seg_mode = None
     seg_in_degree = None
     seg_s_s = None
+    seg_kc = None
     if mxu_layout is not None:
         seg_mode = mxu_layout.get("mode", "slab")
         if seg_mode != "slab":
@@ -225,7 +231,7 @@ def batch_graphs(
         kw = {k: v for k, v in mxu_layout.items() if k != "mode"}
         (edge_index, edge_mask, edge_features, edge_ids,
          seg_recv_local, seg_chunks, seg_send_local, seg_s_s,
-         edge_eig) = _apply_slab_layout(
+         edge_eig, seg_kc) = _apply_slab_layout(
             edge_index, edge_mask, edge_features, edge_ids,
             node_cap, edge_eig=edge_eig, **kw)
         if seg_recv_local is None:
@@ -285,6 +291,8 @@ def batch_graphs(
                      if seg_mode is not None else None),
         seg_mode=seg_mode,
         seg_s_s=seg_s_s if seg_mode == "slab" else None,
+        seg_kc=(tuple(seg_kc) if seg_mode == "slab" and seg_kc is not None
+                else None),
         seg_in_degree=(np.asarray(seg_in_degree)
                        if seg_in_degree is not None else None),
         pool_recv_local=(np.asarray(pool_recv_local)
@@ -354,8 +362,9 @@ def _apply_slab_layout(edge_index, edge_mask, edge_features, edge_ids,
             break
     if meta is None:
         return (edge_index, edge_mask, edge_features, edge_ids,
-                None, None, None, None, edge_eig)
-    seg_chunks = np.stack([meta["fb"], meta["wf"]])
+                None, None, None, None, edge_eig, None)
+    seg_chunks = np.stack([meta["fb"], meta["wf"],
+                           meta["fb_comb"], meta["wf_comb"]])
     return (edge_index, edge_mask, edge_features, edge_ids,
             meta["recv_local"], seg_chunks, meta["send_local"],
-            meta["s_s"], edge_eig)
+            meta["s_s"], edge_eig, meta.get("kc"))

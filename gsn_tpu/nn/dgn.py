@@ -166,7 +166,8 @@ def _node_sums_via_slab(cols, data: GraphBatch, n: int):
         data.seg_recv_local, data.seg_send_local, data.seg_chunks, n,
         padded, block_n, block_e, "identity", True,
         _jax.default_backend() == "cpu", None, "float32", False,
-        data.seg_s_s if data.seg_s_s is not None else S_S)
+        data.seg_s_s if data.seg_s_s is not None else S_S,
+        data.seg_kc if data.seg_kc is not None else (None, None))
     return out[:n]
 
 
@@ -367,6 +368,8 @@ class DGNLayerSimple(nn.Module):
                        // data.seg_chunks.shape[1])
             padded = max(-(-n // block_n), S_S) * block_n
             s_s = data.seg_s_s if data.seg_s_s is not None else S_S
+            kc = (data.seg_kc if data.seg_kc is not None
+                  else (None, None))
             interp = jax.default_backend() == "cpu"
             bf16 = self.dtype == jnp.bfloat16
             ddt = "bfloat16" if bf16 else "float32"
@@ -379,10 +382,10 @@ class DGNLayerSimple(nn.Module):
                 # weighted sums + max/min share one fused launch (the
                 # separate launches re-did the one-hot/gather work)
                 out, mm = slab_dgn_fused(hk, agg_ctx["W"], *meta,
-                                         interp, s_s, ddt)
+                                         interp, s_s, ddt, kc)
             elif kernel_idx:
                 out = slab_weighted_gather(hk, agg_ctx["W"], *meta,
-                                           interp, s_s, ddt)
+                                           interp, s_s, ddt, kc)
             else:
                 from gsn_tpu.ops.pallas.slab_minmax import \
                     slab_segment_minmax

@@ -122,7 +122,9 @@ class EdgeMessageMLP(nn.Module):
         # --- fused Pallas path ----------------------------------------
         if fused_seg is not None:
             (recv_local, send_local, cwf, block_n, n_nodes, mode,
-             in_deg, s_s) = fused_seg
+             in_deg, s_s, kc) = fused_seg
+            if kc is None:
+                kc = (None, None)
             block_e = recv_local.shape[0] // cwf.shape[1]
             interpret = jax.default_backend() == "cpu"
             # compute_dtype=bfloat16: keep kernel data bf16 so every
@@ -169,7 +171,7 @@ class EdgeMessageMLP(nn.Module):
                         send_local, cwf, n_nodes, padded, block_n,
                         block_e, "id_sq", pe is not None,
                         interpret, padded_send, ddt, True,
-                        s_s)[:n_nodes]
+                        s_s, kc)[:n_nodes]
                     n_e = (jnp.sum(in_deg[:n_nodes])
                            if in_deg is not None
                            else jnp.sum(
@@ -193,7 +195,7 @@ class EdgeMessageMLP(nn.Module):
                 A_in, B_in, pe_in, b_eff,
                 recv_local, send_local, cwf, n_nodes, padded,
                 block_n, block_e, act_k, pe is not None,
-                interpret, padded_send, ddt, True, s_s)[:n_nodes]
+                interpret, padded_send, ddt, True, s_s, kc)[:n_nodes]
             if len(widths) == 1:
                 return agg
             # second dense commutes with the sum; its per-message bias
@@ -370,8 +372,9 @@ class GSNLayer(nn.Module):
                 recv_local, chunks, block_n, send_local, mode = seg[:5]
                 in_deg = seg[5] if len(seg) > 5 else None
                 seg_s_s = seg[6] if len(seg) > 6 else None
+                seg_kc = seg[7] if len(seg) > 7 else None
                 fused_seg = (recv_local, send_local, chunks, block_n,
-                             n_nodes, mode, in_deg, seg_s_s)
+                             n_nodes, mode, in_deg, seg_s_s, seg_kc)
             out_or_msgs = EdgeMessageMLP(
                 self.d_msg if self.d_msg is not None else x.shape[-1],
                 tuple(self.d_h), self.activation_mlp, self.bn_mlp,
@@ -426,6 +429,8 @@ class GSNLayer(nn.Module):
                 recv_local, chunks, block_n, send_local, _m = seg[:5]
                 s_s = (seg[6] if len(seg) > 6 and seg[6] is not None
                        else S_S)
+                kc = (seg[7] if len(seg) > 7 and seg[7] is not None
+                      else (None, None))
                 block_e = recv_local.shape[0] // chunks.shape[1]
                 padded = max(-(-n_nodes // block_n),
                              S_R if self.ep_axis is not None else S_S
@@ -456,7 +461,7 @@ class GSNLayer(nn.Module):
                         recv_local, send_local, chunks, n_nodes, padded,
                         block_n, block_e, "identity",
                         edge_arr is not None, interp,
-                        padded_send, ddt, False, s_s)[:n_nodes]
+                        padded_send, ddt, False, s_s, kc)[:n_nodes]
 
                 agg_parts = [slab_part(node_arr=x)]
                 if self.use_ids:
@@ -500,6 +505,8 @@ class GSNLayer(nn.Module):
                 recv_local, chunks, block_n, send_local, _m = seg[:5]
                 s_s = (seg[6] if len(seg) > 6 and seg[6] is not None
                        else S_S)
+                kc = (seg[7] if len(seg) > 7 and seg[7] is not None
+                      else (None, None))
                 block_e = recv_local.shape[0] // chunks.shape[1]
                 padded = max(-(-n_nodes // block_n),
                              S_R if self.ep_axis is not None else S_S
@@ -534,7 +541,7 @@ class GSNLayer(nn.Module):
                     recv_local, send_local, chunks, n_nodes, padded,
                     block_n, block_e, "relu", pe is not None,
                     _jax.default_backend() == "cpu",
-                    padded_send, ddt, False, s_s)[:n_nodes]
+                    padded_send, ddt, False, s_s, kc)[:n_nodes]
             else:
                 m = x_j
                 if self.use_ids:

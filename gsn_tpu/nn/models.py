@@ -210,7 +210,7 @@ class GNNSubstructures(nn.Module):
                          else (data.seg_recv_local, data.seg_chunks,
                                data.seg_block_n, data.seg_send_local,
                                data.seg_mode, data.seg_in_degree,
-                               data.seg_s_s)))
+                               data.seg_s_s, data.seg_kc)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",
@@ -337,7 +337,7 @@ class GNN_OGB(nn.Module):
                          else (data.seg_recv_local, data.seg_chunks,
                                data.seg_block_n, data.seg_send_local,
                                data.seg_mode, data.seg_in_degree,
-                               data.seg_s_s)))
+                               data.seg_s_s, data.seg_kc)))
 
             if c.bn[i]:
                 x = MaskedBatchNorm(name=f"bn_{i}",

@@ -158,9 +158,26 @@ def build_slab_metadata(recv: np.ndarray, send: np.ndarray,
         send_local[lo:lo + block_e] = sv
         wf[t] = w
         prev_wf = w
-    return {"fb": fb, "wf": wf, "recv_local": recv_local,
+    # static max-contributors-per-output-block for the accumulating
+    # Pallas combine (slab_combine.py).  EMPTY chunks inherit prev_fb /
+    # prev_wf (DMA coherence for the main kernel) and would otherwise
+    # pile dozens of zero contributors onto one block, pushing the count
+    # off the ladder — the combine uses SENTINEL keys (= one past the
+    # last block) for them instead: sorted sentinels land outside every
+    # block's searchsorted window, and their zero slabs are skipped.
+    from .slab_combine import combine_kc
+    nonempty = np.zeros(C, bool)
+    for t, _s, _m in chunk_rows:
+        nonempty[t] = True
+    fb_comb = np.where(nonempty, fb, num_blocks).astype(np.int32)
+    wf_comb = np.where(nonempty, wf, send_blocks).astype(np.int32)
+    kc = (combine_kc(fb_comb, S_R, num_blocks),
+          combine_kc(wf_comb, s_s, send_blocks))
+    return {"fb": fb, "wf": wf, "fb_comb": fb_comb, "wf_comb": wf_comb,
+            "recv_local": recv_local,
             "send_local": send_local, "block_n": block_n,
-            "block_e": block_e, "num_blocks": num_blocks, "s_s": s_s}
+            "block_e": block_e, "num_blocks": num_blocks, "s_s": s_s,
+            "kc": kc}
 
 
 def _onehots(recv_ref, send_ref, block_n, s_s):
@@ -243,9 +260,16 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, pe_ref,
         else:
             d1 = h.shape[1]
             g_e = g_e[:, :d1] + 2.0 * h * g_e[:, d1:]
+    if data_dtype == "bfloat16" and act != "id_sq":
+        g_e = g_e.astype(jnp.bfloat16)   # single-pass scatter dots;
+        #   dH (the dPe/db1 carrier) is also WRITTEN bf16 — it was the
+        #   last f32 [E, d] stream in the bwd kernel (89 MB/layer on
+        #   molhiv; the downstream consumers are the bf16-class
+        #   embedding cotangents)
+    # (dtype derived from flags, not dh_ref.dtype: the interpret-mode
+    # _W ref emulation wrapper has no dtype attribute)
     dh_ref[...] = g_e
     if data_dtype == "bfloat16" and act != "id_sq":
-        g_e = g_e.astype(jnp.bfloat16)   # single-pass scatter dots
         if da_slab_ref is not None:
             da_slab_ref[...] = onehot_dot_t(
                 oh_r, g_e).astype(jnp.bfloat16)[None]
@@ -299,9 +323,23 @@ def _specs(block_e, block_n, d1, has_a=True, s_s=S_S):
     ]
 
 
-def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d):
+def _ckey(fb_wf, side):
+    """Combine key row: 0=receiver (fb), 1=sender (wf).  Rows 2/3,
+    when present, carry the empty-chunk-sentinel variants built by
+    build_slab_metadata for the Pallas combine."""
+    return fb_wf[2 + side] if fb_wf.shape[0] >= 4 else fb_wf[side]
+
+
+def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d,
+                   kc=None, interpret=False):
     """[C, span*Bn, d] chunk slabs -> [num_blocks*Bn, d] block-row
     reduction, expressed as a one-hot MXU matmul.
+
+    ``kc`` (static, from build_slab_metadata's per-batch "kc" pair):
+    max contributing chunks per output block — when given (and not
+    interpreting) the reduction runs as the accumulating Pallas combine
+    kernel instead, which reads each slab block once and writes each
+    output block once with NO retiling copy (slab_combine.py).
 
     XLA lowers the equivalent sorted segment-sum to a serial
     dynamic-update-slice loop (~200 GB/s measured); the [num_blocks,
@@ -310,6 +348,10 @@ def _combine_slabs(slabs, first_block, span, num_blocks, block_n, d):
     GFLOP on the bench shapes, ~0.1 ms).  The rhs stays RANK-3
     [C*span, Bn, d] (onehot_dot3): flattening to [C*span, Bn*d] forced
     a physical retiling copy that was 13% of the molhiv step."""
+    if kc is not None and not interpret:
+        from .slab_combine import slab_combine_sum
+        return slab_combine_sum(slabs, first_block, span, num_blocks,
+                                block_n, d, kc)
     C = slabs.shape[0]
     rows = slabs.reshape(C * span, block_n, d)   # leading merge: free
     ids = (first_block[:, None]
@@ -444,7 +486,8 @@ def _out_struct(shape, dtype, *arrs):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+                                    18))
 def slab_edge_message_aggregate(
         A, B, Pe, b1,
         recv_local, send_local, fb_wf, num_real_nodes,
@@ -454,7 +497,8 @@ def slab_edge_message_aggregate(
         num_send_nodes: Optional[int] = None,
         data_dtype: str = "float32",
         has_a: bool = True,
-        s_s: int = S_S):
+        s_s: int = S_S,
+        kc=(None, None)):
     """agg[v] = Σ_{e→v} act(A[recv]+B[send]+Pe+b1)   — dense edges.
 
     fb_wf: stacked [2, C] of (fb, wf).  num_nodes: padded RECEIVER rows
@@ -472,14 +516,14 @@ def slab_edge_message_aggregate(
     out, _ = _slab_fwd_impl(A, B, Pe if has_pe else None, b1, recv_local,
                             send_local, fb_wf, num_nodes, block_n,
                             block_e, act, interpret, num_send_nodes,
-                            data_dtype, has_a, s_s)
+                            data_dtype, has_a, s_s, kc)
     return out
 
 
 def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
                    num_nodes, block_n, block_e, act, interpret,
                    num_send_nodes=None, data_dtype="float32",
-                   has_a=True, s_s=S_S):
+                   has_a=True, s_s=S_S, kc=(None, None)):
     C = fb_wf.shape[1]
     d1 = A.shape[1]
     od = 2 * d1 if act == "id_sq" else d1   # joint [H, H^2] slabs
@@ -530,7 +574,8 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
           send_local.reshape(C, 1, block_e),
           Pe_arr, *a_ops, *((B,) * s_s),
           b1.reshape(1, d1).astype(jnp.float32))
-    out = _combine_slabs(slabs, fb_wf[0], S_R, num_blocks, block_n, od)
+    out = _combine_slabs(slabs, _ckey(fb_wf, 0), S_R, num_blocks,
+                         block_n, od, kc=kc[0], interpret=interpret)
     if data_dtype == "bfloat16" and act != "id_sq":
         # the aggregate leaves in bf16: the next Dense would round it to
         # bf16 anyway (compute_dtype mode), and writing half the bytes
@@ -543,16 +588,16 @@ def _slab_fwd_impl(A, B, Pe, b1, recv_local, send_local, fb_wf,
 def _slab_fwd(A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
               num_nodes, block_n, block_e, act, has_pe, interpret,
               num_send_nodes=None, data_dtype="float32", has_a=True,
-              s_s=S_S):
+              s_s=S_S, kc=(None, None)):
     out = slab_edge_message_aggregate(
         A, B, Pe, b1, recv_local, send_local, fb_wf, num_real_nodes,
         num_nodes, block_n, block_e, act, has_pe, interpret,
-        num_send_nodes, data_dtype, has_a, s_s)
+        num_send_nodes, data_dtype, has_a, s_s, kc)
     return out, (A, B, Pe, b1, recv_local, send_local, fb_wf)
 
 
 def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
-              num_send_nodes, data_dtype, has_a, s_s, res, g):
+              num_send_nodes, data_dtype, has_a, s_s, kc, res, g):
     A, B, Pe, b1, recv_local, send_local, fb_wf = res
     C = fb_wf.shape[1]
     d1 = A.shape[1]
@@ -566,7 +611,11 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
               else jnp.zeros((C * block_e, d1), ddt))
     A_p = _pad_nodes(A, num_nodes, ddt)
     B_p = _pad_nodes(B, num_send, ddt)
-    g = jnp.pad(g.astype(jnp.float32),
+    # bf16 mode: ship the cotangent spans bf16 (the kernel casts them
+    # anyway before the gather dot — DMAing f32 then rounding in-VMEM
+    # paid double bandwidth); id_sq keeps the f32 moments cotangent
+    gdt = ddt if act != "id_sq" else jnp.float32
+    g = jnp.pad(g.astype(gdt),
                 ((0, num_nodes - g.shape[0]), (0, 0)))
 
     if interpret:
@@ -607,7 +656,7 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
                               data_dtype=data_dtype, s_s=s_s),
             grid_spec=grid_spec,
             out_shape=[
-                _out_struct((C * block_e, d1), jnp.float32,
+                _out_struct((C * block_e, d1), odt,
                             A_p, B_p, Pe_arr, b1, recv_local, send_local,
                             fb_wf, g),
             ] + da_out_shape + [
@@ -626,12 +675,14 @@ def _slab_bwd(num_nodes, block_n, block_e, act, has_pe, interpret,
         else:
             (dH, db_slabs), da_slabs = outs, None
 
-    dA = (_combine_slabs(da_slabs, fb_wf[0], S_R, num_blocks, block_n,
-                         d1)[:A.shape[0]].astype(A.dtype)
+    dA = (_combine_slabs(da_slabs, _ckey(fb_wf, 0), S_R, num_blocks,
+                         block_n, d1, kc=kc[0],
+                         interpret=interpret)[:A.shape[0]].astype(A.dtype)
           if da_slabs is not None else jnp.zeros_like(A))
-    dB = _combine_slabs(db_slabs, fb_wf[1], s_s, send_blocks, block_n,
-                        d1)[:B.shape[0]].astype(B.dtype)
-    db1 = jnp.sum(dH, axis=0).astype(b1.dtype)
+    dB = _combine_slabs(db_slabs, _ckey(fb_wf, 1), s_s, send_blocks,
+                        block_n, d1, kc=kc[1],
+                        interpret=interpret)[:B.shape[0]].astype(B.dtype)
+    db1 = jnp.sum(dH.astype(jnp.float32), axis=0).astype(b1.dtype)
     dPe = dH.astype(Pe.dtype) if has_pe else None
     return (_match_vma(A, dA), _match_vma(B, dB), _match_vma(Pe, dPe),
             _match_vma(b1, db1), None, None, None, None)

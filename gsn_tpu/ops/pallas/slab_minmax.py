@@ -46,8 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .onehot_dot import onehot_dot, onehot_dot_t
-from .slab_message import (S_R, S_S, _at, _combine_slabs, _out_struct,
-                           _pad_nodes)
+from .slab_message import (S_R, S_S, _at, _ckey, _combine_slabs,
+                           _out_struct, _pad_nodes)
 
 NEG = -1.0e30    # finite -inf stand-in (MXU-safe)
 
@@ -165,10 +165,16 @@ def _minmax_combine(slabs, fb, num_blocks, block_n, d2):
 
 
 def _minmax_combine_cnt(mm_slabs, cnt_slabs, fb, num_blocks, block_n,
-                        d2):
+                        d2, kc=None, interpret=False):
     """(global maxima, global tie counts) from per-chunk (max, count)
     slabs: cnt[v] = Σ_c cnt_c[v] · 1[max_c[v] == raw[v]] — block-row
-    segment ops only, no node scatter."""
+    segment ops only, no node scatter.  ``kc`` routes through the
+    accumulating Pallas combine (slab_combine.py) instead, skipping the
+    retile copies the XLA segment ops pay."""
+    if kc is not None and not interpret:
+        from .slab_combine import slab_combine_minmax_cnt
+        return slab_combine_minmax_cnt(mm_slabs, cnt_slabs, fb, S_R,
+                                       num_blocks, block_n, d2, kc)
     C = mm_slabs.shape[0]
     rows = mm_slabs.reshape(C * S_R, block_n, d2)
     crows = cnt_slabs.reshape(C * S_R, block_n, d2)
@@ -202,22 +208,22 @@ def _span_specs(block_n, d2):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def slab_segment_minmax(B, recv_local, send_local, fb_wf, num_real_nodes,
                         num_nodes: int, block_n: int, block_e: int,
                         interpret: bool = False, s_s: int = S_S,
-                        data_dtype: str = "float32"):
+                        data_dtype: str = "float32", kc=(None, None)):
     """[max, -min] of B[send(e)] over e→v — returns [num_nodes, 2d]
     (columns [:d] = segment max, [d:] = -(segment min); empty nodes 0,
     the DGL/masked_segment_max fill).  Metadata exactly as
     ``slab_edge_message_aggregate``; shared send/recv index space."""
     out, _ = _fwd(B, recv_local, send_local, fb_wf, num_nodes, block_n,
-                  block_e, interpret, s_s, data_dtype)
+                  block_e, interpret, s_s, data_dtype, kc)
     return out
 
 
 def _fwd(B, recv_local, send_local, fb_wf, num_nodes, block_n, block_e,
-         interpret, s_s, data_dtype="float32"):
+         interpret, s_s, data_dtype="float32", kc=(None, None)):
     C = fb_wf.shape[1]
     d = B.shape[1]
     num_blocks = num_nodes // block_n
@@ -252,22 +258,23 @@ def _fwd(B, recv_local, send_local, fb_wf, num_nodes, block_n, block_e,
       recv_local.reshape(C, 1, block_e),
       send_local.reshape(C, 1, block_e),
       *((B_p,) * s_s))
-    raw, cnt = _minmax_combine_cnt(slabs, cnt_slabs, fb_wf[0],
-                                   num_blocks, block_n, 2 * d)
+    raw, cnt = _minmax_combine_cnt(slabs, cnt_slabs, _ckey(fb_wf, 0),
+                                   num_blocks, block_n, 2 * d,
+                                   kc=kc[0], interpret=interpret)
     out = jnp.where(raw <= NEG / 2, 0.0, raw)
     return out, (B, recv_local, send_local, fb_wf, raw, cnt)
 
 
 def _fwd_vjp(B, recv_local, send_local, fb_wf, num_real_nodes,
              num_nodes, block_n, block_e, interpret, s_s,
-             data_dtype="float32"):
+             data_dtype="float32", kc=(None, None)):
     out, res = _fwd(B, recv_local, send_local, fb_wf, num_nodes,
-                    block_n, block_e, interpret, s_s, data_dtype)
+                    block_n, block_e, interpret, s_s, data_dtype, kc)
     return out, res
 
 
 def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
-             res, g):
+             kc, res, g):
     B, recv_local, send_local, fb_wf, raw, cnt = res
     C = fb_wf.shape[1]
     d = B.shape[1]
@@ -304,8 +311,9 @@ def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
       recv_local.reshape(C, 1, block_e),
       send_local.reshape(C, 1, block_e),
       *((B_p,) * s_s), raw, raw, gp, gp)
-    dB = _combine_slabs(db_slabs, fb_wf[1], s_s, num_blocks, block_n,
-                        d)[:B.shape[0]].astype(B.dtype)
+    dB = _combine_slabs(db_slabs, _ckey(fb_wf, 1), s_s, num_blocks,
+                        block_n, d, kc=kc[1],
+                        interpret=interpret)[:B.shape[0]].astype(B.dtype)
     return (dB, None, None, None, None)
 
 

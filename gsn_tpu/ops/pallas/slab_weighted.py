@@ -32,8 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .onehot_dot import onehot_dot, onehot_dot_t
-from .slab_message import (S_R, S_S, _at, _combine_slabs, _out_struct,
-                           _pad_nodes)
+from .slab_message import (S_R, S_S, _at, _ckey, _combine_slabs,
+                           _out_struct, _pad_nodes)
 
 
 def _w_cols(w_ref, K):
@@ -130,13 +130,15 @@ def _bwd_kernel(fb_ref, wf_ref, recv_ref, send_ref, w_ref, *refs,
         db_slab_ref.dtype)[None]                      # [s_s*Bn, d]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def slab_weighted_gather(B, W, recv_local, send_local, fb_wf,
                          num_real_nodes,
                          num_nodes: int, block_n: int, block_e: int,
                          interpret: bool = False,
                          s_s: int = S_S,
-                         data_dtype: str = "float32"):
+                         data_dtype: str = "float32",
+                         kc=(None, None)):
     """out[v, k*d:(k+1)*d] = Σ_{e→v} W[e, k] · B[send(e)].
 
     ``B`` [N, d] node rows (shared send/recv index space padded to
@@ -146,12 +148,13 @@ def slab_weighted_gather(B, W, recv_local, send_local, fb_wf,
     rounded bf16 — the compute_dtype class of rounding); 'float32' uses
     the ~16-bit split scheme.  Returns [num_nodes, K*d] float32."""
     out, _ = _fwd(B, W, recv_local, send_local, fb_wf, num_nodes,
-                  block_n, block_e, interpret, s_s, data_dtype)
+                  block_n, block_e, interpret, s_s, data_dtype, kc)
     return out
 
 
 def _fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
-         block_e, interpret, s_s, data_dtype="float32"):
+         block_e, interpret, s_s, data_dtype="float32",
+         kc=(None, None)):
     C = fb_wf.shape[1]
     d = B.shape[1]
     K = W.shape[1]
@@ -187,21 +190,21 @@ def _fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
       recv_local.reshape(C, 1, block_e),
       send_local.reshape(C, 1, block_e),
       W_f, *((B_p,) * s_s))
-    out = _combine_slabs(slabs, fb_wf[0], S_R, num_blocks, block_n,
-                         K * d)
+    out = _combine_slabs(slabs, _ckey(fb_wf, 0), S_R, num_blocks,
+                         block_n, K * d, kc=kc[0], interpret=interpret)
     return out, (B, W, recv_local, send_local, fb_wf)
 
 
 def _fwd_vjp(B, W, recv_local, send_local, fb_wf, num_real_nodes,
              num_nodes, block_n, block_e, interpret, s_s,
-             data_dtype="float32"):
+             data_dtype="float32", kc=(None, None)):
     out, res = _fwd(B, W, recv_local, send_local, fb_wf, num_nodes,
-                    block_n, block_e, interpret, s_s, data_dtype)
+                    block_n, block_e, interpret, s_s, data_dtype, kc)
     return out, res
 
 
 def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
-             res, g):
+             kc, res, g):
     B, W, recv_local, send_local, fb_wf = res
     C = fb_wf.shape[1]
     d = B.shape[1]
@@ -251,8 +254,9 @@ def _bwd_vjp(num_nodes, block_n, block_e, interpret, s_s, data_dtype,
       recv_local.reshape(C, 1, block_e),
       send_local.reshape(C, 1, block_e),
       W_f, *((B_p,) * s_s), g, g)
-    dB = _combine_slabs(db_slabs, fb_wf[1], s_s, num_blocks, block_n,
-                        d)[:B.shape[0]].astype(B.dtype)
+    dB = _combine_slabs(db_slabs, _ckey(fb_wf, 1), s_s, num_blocks,
+                        block_n, d, kc=kc[1],
+                        interpret=interpret)[:B.shape[0]].astype(B.dtype)
     return (dB, dW[:W.shape[0]].astype(W.dtype), None, None, None, None)
 
 
@@ -364,22 +368,22 @@ def _base_specs(block_e, block_n, d, K, s_s):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def slab_dgn_fused(B, W, recv_local, send_local, fb_wf, num_real_nodes,
                    num_nodes: int, block_n: int, block_e: int,
                    interpret: bool = False, s_s: int = S_S,
-                   data_dtype: str = "float32"):
+                   data_dtype: str = "float32", kc=(None, None)):
     """(weighted [N, K*d], minmax [N, 2d]) — `slab_weighted_gather` and
     `slab_segment_minmax` fused into one forward launch (and a fused
     backward pass 1).  Same metadata/semantics as the standalone ops."""
     (w_out, mm_out), _ = _dgn_fwd(B, W, recv_local, send_local, fb_wf,
                                   num_nodes, block_n, block_e,
-                                  interpret, s_s, data_dtype)
+                                  interpret, s_s, data_dtype, kc)
     return w_out, mm_out
 
 
 def _dgn_fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
-             block_e, interpret, s_s, data_dtype):
+             block_e, interpret, s_s, data_dtype, kc=(None, None)):
     C = fb_wf.shape[1]
     d = B.shape[1]
     K = W.shape[1]
@@ -418,10 +422,12 @@ def _dgn_fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
       recv_local.reshape(C, 1, block_e),
       send_local.reshape(C, 1, block_e),
       W_f, *((B_p,) * s_s))
-    w_out = _combine_slabs(w_slabs, fb_wf[0], S_R, num_blocks, block_n,
-                           K * d)
-    raw, cnt = _minmax_combine_cnt(mm_slabs, cnt_slabs, fb_wf[0],
-                                   num_blocks, block_n, 2 * d)
+    w_out = _combine_slabs(w_slabs, _ckey(fb_wf, 0), S_R, num_blocks,
+                           block_n, K * d, kc=kc[0],
+                           interpret=interpret)
+    raw, cnt = _minmax_combine_cnt(mm_slabs, cnt_slabs, _ckey(fb_wf, 0),
+                                   num_blocks, block_n, 2 * d,
+                                   kc=kc[0], interpret=interpret)
     mm_out = jnp.where(raw <= NEG / 2, 0.0, raw)
     return ((w_out, mm_out),
             (B, W, recv_local, send_local, fb_wf, raw, cnt))
@@ -429,14 +435,14 @@ def _dgn_fwd(B, W, recv_local, send_local, fb_wf, num_nodes, block_n,
 
 def _dgn_fwd_vjp(B, W, recv_local, send_local, fb_wf, num_real_nodes,
                  num_nodes, block_n, block_e, interpret, s_s,
-                 data_dtype):
+                 data_dtype, kc=(None, None)):
     out, res = _dgn_fwd(B, W, recv_local, send_local, fb_wf, num_nodes,
-                        block_n, block_e, interpret, s_s, data_dtype)
+                        block_n, block_e, interpret, s_s, data_dtype, kc)
     return out, res
 
 
 def _dgn_bwd_vjp(num_nodes, block_n, block_e, interpret, s_s,
-                 data_dtype, res, g):
+                 data_dtype, kc, res, g):
     g_w, g_mm = g
     B, W, recv_local, send_local, fb_wf, raw, cnt = res
     C = fb_wf.shape[1]
@@ -483,8 +489,9 @@ def _dgn_bwd_vjp(num_nodes, block_n, block_e, interpret, s_s,
       send_local.reshape(C, 1, block_e),
       W_f, *((B_p,) * s_s), g_w, g_w, raw, raw, gp, gp)
 
-    dB = _combine_slabs(db_slabs, fb_wf[1], s_s,
-                        num_blocks, block_n, d)[:B.shape[0]] \
+    dB = _combine_slabs(db_slabs, _ckey(fb_wf, 1), s_s,
+                        num_blocks, block_n, d, kc=kc[1],
+                        interpret=interpret)[:B.shape[0]] \
         .astype(B.dtype)
     return (dB, dW[:W.shape[0]].astype(W.dtype), None, None, None, None)
 

@@ -152,6 +152,7 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
     seg_block_n = None
     seg_mode = None
     seg_s_s = None
+    seg_kc = None
     if slab:
         from gsn_tpu.ops.pallas.slab_message import (S_R, S_S,
                                                      build_slab_metadata)
@@ -178,7 +179,8 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
             smax = max(m["s_s"] for m in metas)
             rl = np.zeros((D, e_cap), np.int32)
             sl = np.zeros((D, e_cap), np.int32)
-            fbwf = np.zeros((D, 2, C), np.int32)
+            fbwf = np.zeros((D, 4, C), np.int32)
+            kcs = []
             ok = True
             for d in range(D):
                 meta = metas[d]
@@ -192,7 +194,9 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
                     break
                 rl[d] = meta["recv_local"]
                 sl[d] = meta["send_local"]
-                fbwf[d] = np.stack([meta["fb"], meta["wf"]])
+                fbwf[d] = np.stack([meta["fb"], meta["wf"],
+                                    meta["fb_comb"], meta["wf_comb"]])
+                kcs.append(meta.get("kc", (None, None)))
             if ok:
                 seg_recv_local, seg_send_local = rl, sl
                 seg_chunks = fbwf
@@ -200,6 +204,13 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
                 seg_block_n = block_n
                 seg_mode = "slab"
                 seg_s_s = smax
+                # ONE SPMD program runs every shard: the combine-kernel
+                # contributor cap must be the max over shards (None
+                # poisons -> XLA combine everywhere)
+                if all(k[0] is not None for k in kcs) \
+                        and all(k[1] is not None for k in kcs):
+                    seg_kc = (max(k[0] for k in kcs),
+                              max(k[1] for k in kcs))
 
     # node- vs edge-level identifiers: same disambiguation rule as
     # batch_graphs (container.py) — row count matching edges AND not
@@ -236,6 +247,7 @@ def make_ep_batch(data: GraphBatch, num_devices: int,
         seg_block_n=seg_block_n,
         seg_mode=seg_mode,
         seg_s_s=seg_s_s,
+        seg_kc=seg_kc,
         seg_in_degree=seg_in_degree,
         ep_axis=axis,
     )
