@@ -191,6 +191,15 @@ class GNNSubstructures(nn.Module):
                 ef_i = ef_encoders[i if c.inject_edge_features else 0](
                     data.edge_features, em, train)
 
+            if c.compute_dtype:
+                # encoder outputs travel in the compute dtype (one-hot /
+                # embedding values are bf16-exact; the message MLP casts
+                # its inputs to the compute dtype anyway)
+                if ids_i is not None:
+                    ids_i = ids_i.astype(jnp.dtype(c.compute_dtype))
+                if ef_i is not None:
+                    ef_i = ef_i.astype(jnp.dtype(c.compute_dtype))
+
             x = GSNLayer(
                 d_up=c.d_out[i], d_msg=c.d_msg[i], d_h=tuple(c.d_h[i]),
                 msg_kind=c.msg_kind, id_scope=c.id_scope,
@@ -307,6 +316,16 @@ class GNN_OGB(nn.Module):
             ef_i = None
             if data.edge_features is not None:
                 ef_i = ef_encoders[i](data.edge_features, em, train)
+
+            if cdt:
+                # edge-level embedding outputs travel in the compute
+                # dtype: per layer these are [E, 300] streams on molhiv
+                # (f32 materializations cost ~0.1 ms each; the kernels
+                # cast to bf16 anyway)
+                if ids_i is not None:
+                    ids_i = ids_i.astype(cdt)
+                if ef_i is not None:
+                    ef_i = ef_i.astype(cdt)
 
             h = x_interm[i]
             if c.vn:
