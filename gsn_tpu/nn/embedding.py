@@ -38,6 +38,17 @@ def _as_2d(x: jnp.ndarray) -> jnp.ndarray:
     return x[:, None] if x.ndim == 1 else x
 
 
+def _match_vma(primal, cot):
+    """psum a cotangent over mesh axes the primal does not vary on —
+    required of custom_vjp rules under a checked shard_map (see
+    ops/pallas/slab_message._match_vma); no-op outside shard_map."""
+    try:
+        extra = tuple(jax.typeof(cot).vma - jax.typeof(primal).vma)
+    except Exception:
+        return cot
+    return jax.lax.psum(cot, extra) if extra else cot
+
+
 def _embed_lookup_mxu(table: jnp.ndarray, idx: jnp.ndarray):
     """Row lookup as a one-hot MXU matmul.
 
@@ -45,19 +56,49 @@ def _embed_lookup_mxu(table: jnp.ndarray, idx: jnp.ndarray):
     (~0.5 ms per table on the bench workload); the one-hot matmul and its
     transpose both run on the MXU in ~10 us for small vocabularies.
     Numerics are exactly the plain gather: the one-hot row has a single
-    1.0, so each output element is x·1 plus exact zeros.  Being plain XLA
-    ops (no custom_vjp), shard_map's replication inference sees through
-    it, so replicated-parameter gradients still auto-psum under DP.
+    1.0, so each output element is x·1 plus exact zeros.
+
+    The forward dot uses Precision.HIGH (exact for one-hot x f32).  The
+    BACKWARD is a custom rule: for a bf16 cotangent (the compute_dtype
+    path) the table gradient is ONE default-precision pass with f32
+    accumulation — EXACT (0/1 x bf16 products are exact), whereas
+    inheriting HIGH forced a bf16x3 split that materialized f32 [E, d]
+    copies of the cotangent (~0.7 ms/step on molhiv).  f32 cotangents
+    keep the HIGH path.  The rule psums replicated-table cotangents
+    itself (shard_map vma contract).
     """
     idx = idx.astype(jnp.int32)
     v = table.shape[0]
-    oh = (idx[:, None]
-          == jnp.arange(v, dtype=jnp.int32)[None, :]).astype(table.dtype)
-    # HIGH (3-pass): exact for one-hot x f32; DEFAULT would round the table to bf16
-    return jax.lax.dot_general(
-        oh, table, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=table.dtype,
-        precision=jax.lax.Precision.HIGH)
+
+    def _oh(dtype):
+        return (idx[:, None]
+                == jnp.arange(v, dtype=jnp.int32)[None, :]).astype(dtype)
+
+    @jax.custom_vjp
+    def lookup(tab):
+        return jax.lax.dot_general(
+            _oh(tab.dtype), tab, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=tab.dtype,
+            precision=jax.lax.Precision.HIGH)
+
+    def lookup_fwd(tab):
+        return lookup(tab), tab
+
+    def lookup_bwd(tab, g):
+        dn = (((0,), (0,)), ((), ()))   # contract the row axis
+        if g.dtype == jnp.bfloat16:
+            dtab = jax.lax.dot_general(
+                _oh(jnp.bfloat16), g, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        else:
+            dtab = jax.lax.dot_general(
+                _oh(g.dtype), g, dimension_numbers=dn,
+                preferred_element_type=g.dtype,
+                precision=jax.lax.Precision.HIGH)
+        return (_match_vma(tab, dtab.astype(tab.dtype)),)
+
+    lookup.defvjp(lookup_fwd, lookup_bwd)
+    return lookup(table)
 
 
 class _MXUGradEmbed(nn.Embed):
