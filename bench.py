@@ -32,7 +32,7 @@ import traceback
 import numpy as np
 
 BATCH_GRAPHS = 1024
-ITERS = 30
+ITERS = 60
 
 # persistent compilation cache: repeat bench runs skip the multi-minute
 # remote compiles
@@ -115,11 +115,19 @@ def run_variant(trainer, data, iters):
     # float(loss) repeat would hit jax.Array's host cache and measure µs.)
     device_sync(loss)                     # sync: warmup fully retired
     rtt = fetch_rtt(loss)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = trainer._jit_train_step(state, data, 1e-3, key)
-    device_sync(loss)                     # barrier: forces the chain
-    return time.perf_counter() - t0 - rtt
+    # best-of-2 timed regions: the short-step workloads (zinc ~5 ms)
+    # measured +/-10% run-to-run from tunnel dispatch bubbles; the min
+    # over two regions is the honest device-throughput estimate and
+    # costs only iters*step_ms extra (compiles dominate bench wall time)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = trainer._jit_train_step(state, data, 1e-3, key)
+        device_sync(loss)                 # barrier: forces the chain
+        dt = time.perf_counter() - t0 - rtt
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def bench_workload(name, graphs, cfg_fn, tcfg, extra_variants=()):
